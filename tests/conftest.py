@@ -1,0 +1,15 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+This exercises the data-parallel mesh, collectives, and per-device batching
+deterministically without TPU hardware (SURVEY.md §4).  The assignment is
+unconditional: the ambient environment may point JAX at a tunneled TPU
+platform, which would make every unit test pay remote-compile latency.
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
