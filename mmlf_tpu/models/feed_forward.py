@@ -1,0 +1,255 @@
+"""EPINET-style multi-stream CNN for light-field depth estimation.
+
+TPU-native re-design of the reference model (mmlf/model/feed_forward.py):
+
+  * channel-last NHWC everywhere — the native XLA/TPU conv layout;
+  * view stacks ``(b, n, H, W, 3)`` are folded to ``(b, H, W, n*3)`` with
+    view-major channel order (view*3 + color), matching the reference's
+    ``view(b, n*c, h, w)`` so converted torch checkpoints line up;
+  * one shared-weight input net for the horizontal+vertical streams and one
+    for the two diagonals (reference :95-98); the horizontal stream runs with
+    H/W swapped, the increasing diagonal swapped + flipped so all EPIs are
+    normalized to the vertical orientation (reference :236-258);
+  * ``ksize=2`` convolutions pad (1,1) on the first conv of a block and (0,0)
+    on the second, preserving spatial shape exactly like torch's
+    ``padding=k//2`` / ``k//2 - 1`` pair (reference :86-92);
+  * optional bfloat16 compute in the conv trunk (params + heads stay fp32);
+  * BatchNorm statistics are *global across the data-parallel mesh* by
+    construction: under jit with a sharded batch, ``mean`` over the batch
+    axis is a global mean (XLA inserts the collective).  The reference's
+    ``DataParallel`` kept per-replica stats; documented design decision.
+
+Heads (reference :270-305):
+  BASE — 1-channel ``mean``;
+  UPR (``uncert``) — ``mean`` + ``logvar``, plus a Laplace posterior over
+      ``steps`` bins where exp(logvar) is used as the Laplace *scale* b — a
+      reference quirk preserved for parity (reference :294-302, :9-12);
+  DPP (``discrete``) — ``steps`` logits, softmax posterior, argmax one-hot →
+      ``class_to_reg`` mean, posterior-variance logvar (reference :276-290).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.codecs import bin_centers, class_to_reg
+from .unet import UNet
+
+
+def laplacian(x, mu, b):
+    """Laplace density over the last (bin) axis.
+
+    :param x: ``(..., S)`` evaluation points (bin grid)
+    :param mu: ``(...)`` location
+    :param b: ``(...)`` scale (the reference passes *variance* here — quirk)
+    """
+    mu = mu[..., None]
+    b = b[..., None]
+    return 1.0 / (2.0 * b) * jnp.exp(-jnp.abs(x - mu) / b)
+
+
+class ConvBlock(nn.Module):
+    """[Conv(k) → ReLU → Conv(k) → (BN) → (ReLU)] with shape-preserving pads."""
+    features: int
+    ksize: int = 2
+    use_bn: bool = True
+    bn_momentum: float = 0.1        # torch convention; flax gets 1 - this
+    out_bn_relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.ksize
+        p1 = k // 2
+        p2 = p1 if k % 2 == 1 else p1 - 1
+        x = nn.Conv(self.features, (k, k), padding=[(p1, p1), (p1, p1)],
+                    dtype=self.dtype, name='conv1')(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (k, k), padding=[(p2, p2), (p2, p2)],
+                    dtype=self.dtype, name='conv2')(x)
+        if self.out_bn_relu:
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=1.0 - self.bn_momentum,
+                                 dtype=jnp.float32, name='bn')(x)
+            x = nn.relu(x)
+        return x
+
+
+class StreamNet(nn.Module):
+    """Input net for one EPI stream: ``in_blocks`` ConvBlocks."""
+    n_blocks: int
+    features: int
+    ksize: int
+    use_bn: bool
+    bn_momentum: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_blocks):
+            x = ConvBlock(self.features, self.ksize, self.use_bn,
+                          self.bn_momentum, dtype=self.dtype,
+                          name=f'block{i}')(x, train)
+        return x
+
+
+class OutNet(nn.Module):
+    """Fully-convolutional output net: ``out_blocks`` ConvBlocks, last one
+    projects to ``out_features`` without BN/ReLU."""
+    n_blocks: int
+    features: int
+    out_features: int
+    ksize: int
+    use_bn: bool
+    bn_momentum: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_blocks - 1):
+            x = ConvBlock(self.features, self.ksize, self.use_bn,
+                          self.bn_momentum, dtype=self.dtype,
+                          name=f'block{i}')(x, train)
+        x = ConvBlock(self.out_features, self.ksize, self.use_bn,
+                      self.bn_momentum, out_bn_relu=False, dtype=self.dtype,
+                      name=f'block{self.n_blocks - 1}')(x, train)
+        return x
+
+
+class FeedForward(nn.Module):
+    """The four-stream light-field depth CNN.
+
+    Construct via ``FeedForward.from_config(cfg)``; call with view stacks of
+    shape ``(b, n, H, W, 3)``.  Returns the reference's output dict
+    ``{'mean', 'logvar', 'scores', 'one_hot', 'posterior'}``.
+    """
+    ksize: int = 2
+    in_blocks: int = 3
+    out_blocks: int = 8
+    chs: int = 70
+    views: int = 9
+    cross: bool = False
+    uncert: bool = False
+    discrete: bool = False
+    unet: bool = False
+    no_batchnorm: bool = False
+    batchnorm_momentum: float = 0.1
+    disp_min: float = -3.5
+    disp_max: float = 3.5
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg) -> 'FeedForward':
+        return cls(
+            ksize=cfg.model_ksize,
+            in_blocks=cfg.model_in_blocks,
+            out_blocks=cfg.model_out_blocks,
+            chs=cfg.model_chs,
+            views=cfg.model_views,
+            cross=cfg.model_cross,
+            uncert=cfg.model_uncert,
+            discrete=cfg.model_discrete,
+            unet=cfg.model_unet,
+            no_batchnorm=cfg.model_no_batchnorm,
+            batchnorm_momentum=cfg.model_batchnorm_momentum,
+            disp_min=cfg.val_disp_min,
+            disp_max=cfg.val_disp_max,
+            dtype=jnp.bfloat16 if getattr(cfg, 'bf16', False)
+            else jnp.float32,
+        )
+
+    @property
+    def steps(self) -> int:
+        return (2 if self.cross else 4) * self.views * 3
+
+    def _fold(self, stack):
+        """(b, n, H, W, 3) -> (b, H, W, n*3), view-major channel order."""
+        b, n, h, w, c = stack.shape
+        return jnp.transpose(stack, (0, 2, 3, 1, 4)).reshape(b, h, w, n * c)
+
+    @nn.compact
+    def __call__(self, h_views, v_views, i_views=None, d_views=None,
+                 train: bool = False):
+        use_bn = not self.no_batchnorm
+        kw = dict(ksize=self.ksize, use_bn=use_bn,
+                  bn_momentum=self.batchnorm_momentum, dtype=self.dtype)
+
+        in_net_hv = StreamNet(self.in_blocks, self.chs, name='in_net_hv', **kw)
+        in_net_id = None
+        if not self.cross:
+            in_net_id = StreamNet(self.in_blocks, self.chs,
+                                  name='in_net_id', **kw)
+
+        x_h = self._fold(h_views).astype(self.dtype)
+        x_v = self._fold(v_views).astype(self.dtype)
+
+        # horizontal EPIs are vertical EPIs with H/W swapped
+        x_h = jnp.transpose(x_h, (0, 2, 1, 3))
+        f_h = in_net_hv(x_h, train)
+        f_h = jnp.transpose(f_h, (0, 2, 1, 3))
+
+        f_v = in_net_hv(x_v, train)
+
+        feats = [f_h, f_v]
+        if not self.cross:
+            x_i = self._fold(i_views).astype(self.dtype)
+            x_d = self._fold(d_views).astype(self.dtype)
+
+            # increasing diagonal: swap H/W and mirror so its EPIs share the
+            # decreasing diagonal's orientation (reference :248-256)
+            x_i = jnp.transpose(x_i, (0, 2, 1, 3))
+            x_i = jnp.flip(x_i, axis=2)
+            f_i = in_net_id(x_i, train)
+            f_i = jnp.flip(f_i, axis=2)
+            f_i = jnp.transpose(f_i, (0, 2, 1, 3))
+
+            f_d = in_net_id(x_d, train)
+            feats += [f_i, f_d]
+
+        features = jnp.concatenate(feats, axis=-1)
+
+        cat_chs = (2 if self.cross else 4) * self.chs
+        out_chs = 1
+        if self.uncert:
+            out_chs = 2
+        elif self.discrete:
+            out_chs = self.steps
+
+        if self.unet:
+            output = UNet(out_chs, depth=5, wf=6, padding=True,
+                          batch_norm=True, dtype=self.dtype,
+                          name='out_net')(features, train)
+        else:
+            output = OutNet(self.out_blocks, cat_chs, out_chs,
+                            name='out_net', **kw)(features, train)
+
+        output = output.astype(jnp.float32)
+        mean = output[..., 0]
+
+        scores = one_hot = posterior = logvar = None
+        bins = bin_centers(self.disp_min, self.disp_max, self.steps)
+
+        if self.discrete:
+            scores = output                                   # (b, H, W, S)
+            one_hot = (jnp.max(scores, axis=-1, keepdims=True)
+                       == scores).astype(jnp.float32)
+            posterior = jnp.exp(scores)
+            posterior = posterior / jnp.sum(posterior, axis=-1, keepdims=True)
+            mean = class_to_reg(one_hot, self.disp_min, self.disp_max,
+                                self.steps)
+            var = jnp.sum((bins - mean[..., None]) ** 2.0 * posterior,
+                          axis=-1)
+            logvar = jnp.log(var)
+
+        if self.uncert:
+            logvar = output[..., 1]
+            var = jnp.exp(logvar)
+            # reference quirk: exp(logvar) is the Laplace *scale*, not var
+            posterior = laplacian(bins, mean, var)
+
+        return {'mean': mean, 'logvar': logvar, 'scores': scores,
+                'one_hot': one_hot, 'posterior': posterior}

@@ -84,11 +84,15 @@ def roll_lerp_views(stack, shifts, axis: int):
     if axis == -2:   # roll along W: index shape (n, 1, L, 1)
         idx0 = idx0[:, None, :, None]
         idx1 = idx1[:, None, :, None]
-        a = alpha[:, None, None, None]
     else:            # roll along H: index shape (n, L, 1, 1)
         idx0 = idx0[:, :, None, None]
         idx1 = idx1[:, :, None, None]
-        a = alpha[:, None, None, None]
+    a = alpha[:, None, None, None]
+
+    # take_along_axis requires equal ranks: pad leading (batch) dims
+    lead = (1,) * (stack.ndim - 4)
+    idx0 = idx0.reshape(lead + idx0.shape)
+    idx1 = idx1.reshape(lead + idx1.shape)
 
     g0 = jnp.take_along_axis(stack, idx0, axis=axis)
     g1 = jnp.take_along_axis(stack, idx1, axis=axis)

@@ -1,0 +1,163 @@
+"""FeedForward model tests: shapes, heads, and numerical parity against the
+reference torch implementation (imported read-only as a test oracle)."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmlf_tpu.config import Config
+from mmlf_tpu.models import FeedForward
+
+SMALL = dict(model_chs=8, model_views=3, model_in_blocks=2,
+             model_out_blocks=3)
+
+
+def _stacks(rng, b=1, n=3, hw=16):
+    return [jnp.asarray(rng.random((b, n, hw, hw, 3), dtype=np.float32))
+            for _ in range(4)]
+
+
+def _init_and_run(cfg, stacks, train=False):
+    model = FeedForward.from_config(cfg)
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    if train:
+        out, mutated = model.apply(variables, *stacks, train=True,
+                                   mutable=['batch_stats'])
+        return model, variables, out, mutated
+    out = model.apply(variables, *stacks)
+    return model, variables, out, None
+
+
+def test_base_head_shapes():
+    cfg = Config(**SMALL).finalize()
+    rng = np.random.default_rng(0)
+    stacks = _stacks(rng)
+    _, _, out, _ = _init_and_run(cfg, stacks)
+    assert out['mean'].shape == (1, 16, 16)
+    assert out['logvar'] is None and out['posterior'] is None
+
+
+def test_uncert_head_shapes():
+    cfg = Config(model_uncert=True, **SMALL).finalize()
+    rng = np.random.default_rng(0)
+    stacks = _stacks(rng)
+    model, _, out, _ = _init_and_run(cfg, stacks)
+    s = model.steps
+    assert s == 4 * 3 * 3
+    assert out['mean'].shape == (1, 16, 16)
+    assert out['logvar'].shape == (1, 16, 16)
+    assert out['posterior'].shape == (1, 16, 16, s)
+
+
+def test_discrete_head():
+    cfg = Config(model_discrete=True, **SMALL).finalize()
+    rng = np.random.default_rng(0)
+    stacks = _stacks(rng)
+    model, _, out, _ = _init_and_run(cfg, stacks)
+    s = model.steps
+    assert out['scores'].shape == (1, 16, 16, s)
+    post = np.asarray(out['posterior'])
+    np.testing.assert_allclose(post.sum(-1), 1.0, atol=1e-5)
+    # one_hot marks the argmax bin
+    oh = np.asarray(out['one_hot'])
+    np.testing.assert_array_equal(oh.argmax(-1),
+                                  np.asarray(out['scores']).argmax(-1))
+    # mean is the argmax bin center
+    bins = np.linspace(-3.5, 3.5, s)
+    np.testing.assert_allclose(np.asarray(out['mean']),
+                               bins[oh.argmax(-1)], atol=1e-6)
+
+
+def test_cross_only_uses_two_streams():
+    cfg = Config(model_cross=True, **SMALL).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(0)
+    h, v, _, _ = _stacks(rng)
+    variables = model.init(jax.random.PRNGKey(0), h, v)
+    assert 'in_net_id' not in variables['params']
+    out = model.apply(variables, h, v)
+    assert out['mean'].shape == (1, 16, 16)
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = Config(**SMALL).finalize()
+    rng = np.random.default_rng(0)
+    stacks = _stacks(rng)
+    model, variables, out, mutated = _init_and_run(cfg, stacks, train=True)
+    before = jax.tree_util.tree_leaves(variables['batch_stats'])
+    after = jax.tree_util.tree_leaves(mutated['batch_stats'])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+# ---------------------------------------------------------------------------
+# numerical parity vs the reference torch model (oracle, imported read-only)
+# ---------------------------------------------------------------------------
+
+def _reference_model(cfg: Config):
+    torch = pytest.importorskip('torch')
+    if '/root/reference' not in sys.path:
+        sys.path.insert(0, '/root/reference')
+    from mmlf.model.feed_forward import FeedForward as TorchFF
+    model = TorchFF(**cfg.to_dict())
+    model.eval()
+    return model, torch
+
+
+@pytest.mark.parametrize('head', ['base', 'uncert', 'discrete'])
+def test_parity_with_reference_weights(head):
+    """Convert reference-architecture weights and compare eval forwards."""
+    from mmlf_tpu.utils.convert import torch_state_to_flax
+
+    cfg = Config(model_uncert=(head == 'uncert'),
+                 model_discrete=(head == 'discrete'), **SMALL).finalize()
+    tmodel, torch = _reference_model(cfg)
+
+    # random-but-fixed weights; give BN nontrivial running stats
+    torch.manual_seed(0)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+
+    variables = torch_state_to_flax(
+        tmodel.state_dict(), in_blocks=cfg.model_in_blocks,
+        out_blocks=cfg.model_out_blocks)
+
+    rng = np.random.default_rng(1)
+    n, hw = cfg.model_views, 16
+    stacks_np = [rng.random((1, n, hw, hw, 3), dtype=np.float32)
+                 for _ in range(4)]
+
+    with torch.no_grad():
+        tout = tmodel(*[torch.from_numpy(
+            np.ascontiguousarray(np.transpose(s, (0, 1, 4, 2, 3))))
+            for s in stacks_np])
+
+    model = FeedForward.from_config(cfg)
+    jout = model.apply(variables, *[jnp.asarray(s) for s in stacks_np])
+
+    np.testing.assert_allclose(np.asarray(jout['mean']),
+                               tout['mean'].numpy(), atol=5e-4)
+    if head == 'uncert':
+        np.testing.assert_allclose(np.asarray(jout['logvar']),
+                                   tout['logvar'].numpy(), atol=5e-4)
+        # ours is (b, H, W, S); reference (b, S, H, W)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(jout['posterior']), (0, 3, 1, 2)),
+            tout['posterior'].numpy(), atol=5e-4)
+    if head == 'discrete':
+        # scores carry accumulated float noise from 11 conv layers; the
+        # exact argmax parity of `mean` above is the structural check
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(jout['scores']), (0, 3, 1, 2)),
+            tout['scores'].numpy(), atol=2e-3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(jout['posterior']), (0, 3, 1, 2)),
+            tout['posterior'].numpy(), atol=2e-3)
