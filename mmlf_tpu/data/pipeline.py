@@ -1,0 +1,260 @@
+"""TPU training input pipeline: host window extraction + on-device augment.
+
+The reference's augmentation chain runs per-sample in DataLoader worker
+processes (deepcopy of the full scene + full-image shift/crop/color,
+reference mmlf/train/cli.py:72-92, hci4d.py:289-291) — at bs=512 this
+starves any accelerator.  Here the work is split TPU-first:
+
+HOST (numpy, cheap): per sample choose the downsample factor ``f`` and the
+random-crop position, then copy only a small ``(ps+24)``-pixel window from
+the cached (static-shifted) scene at stride ``f``.  All random augmentation
+*parameters* (sub-pixel shift, rotation k, color matrix, brightness/contrast
+alphas, crop offsets) are sampled here and shipped as small arrays.
+
+DEVICE (inside the jitted train step, vmapped over the batch): sub-pixel
+EPI-Shift, crop to ``ps``, rot90 with stack swaps, color redistribution,
+brightness, contrast.  The augmentations fuse with the model forward into a
+single XLA program.
+
+Equivalence to the reference chain
+  ``Shift(train_shift) → RandomDownSampling → RandomShift(1) →
+  RandomCrop(ps+16) → CenterCrop(ps) → RandomRotate → RedistColor →
+  Brightness → Contrast``
+is exact except for one documented deviation: the random sub-pixel shift
+wraps circularly *within the extracted window* instead of within the full
+(downsampled) image.  Both variants' wrap artifacts land in the guard band
+that CenterCrop discards (the reference's band is why it crops ps+16 → ps);
+the visible ps×ps patch distribution is identical away from the image
+border, and differs only in which wrapped pixels a border-touching crop
+would have seen.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.shift import shift_lf
+from . import transforms as T
+from .hci4d import HCI4D
+
+GUARD = 4          # wrap guard for the ±1 px random shift at the outer views
+EXTRA = 16         # RandomCrop(ps+16) → CenterCrop(ps) band
+MAX_PLANES = 12
+
+
+class AugParams(NamedTuple):
+    """Per-sample augmentation parameters (host-sampled, device-applied)."""
+    shift: jnp.ndarray       # (b,) random sub-pixel shift disparity
+    y_off: jnp.ndarray       # (b,) crop offset within the window, [0, 8]
+    x_off: jnp.ndarray       # (b,)
+    rot_k: jnp.ndarray       # (b,) number of 90° rotations, [0, 3]
+    color: jnp.ndarray       # (b, 3, 3) color redistribution matrix
+    brightness: jnp.ndarray  # (b,)
+    contrast: jnp.ndarray    # (b,)
+
+
+class Batch(NamedTuple):
+    h: jnp.ndarray           # (b, n, W, W, 3) window stacks, W = ps + 24
+    v: jnp.ndarray
+    i: jnp.ndarray
+    d: jnp.ndarray
+    gt: jnp.ndarray          # (b, W, W)
+    mpi: jnp.ndarray         # (b, K, W, W, 5)
+    mask: jnp.ndarray        # (b, W, W) int32
+    aug: AugParams
+
+
+def window_size(ps: int) -> int:
+    return ps + EXTRA + 2 * GUARD
+
+
+def pad_mpi(mpi: np.ndarray, k: int = MAX_PLANES) -> np.ndarray:
+    """Zero-alpha-pad the plane axis to a fixed K for static batch shapes."""
+    if mpi.shape[0] >= k:
+        return mpi[:k]
+    pad = np.zeros((k - mpi.shape[0],) + mpi.shape[1:], mpi.dtype)
+    return np.concatenate([mpi, pad], 0)
+
+
+class TrainPipeline:
+    """Caches (static-shifted) scenes and emits window batches."""
+
+    def __init__(self, dataset: HCI4D, cfg: Config, seed: int = 0):
+        self.cfg = cfg
+        self.ps = cfg.train_ps
+        self.win = window_size(self.ps)
+        self.augment = not cfg.train_no_data_augment
+        self.max_f = cfg.train_max_downscale if self.augment else 1
+        self.rng = np.random.default_rng(seed)
+
+        if not dataset.cache:
+            dataset.cache_scenes()
+
+        self.scenes = []
+        for data in (dataset.data if dataset.cache else
+                     [dataset[i] for i in range(len(dataset.scenes))]):
+            h, v, i, d, center, gt, mpi, mask, _ = data
+            if cfg.train_shift != 0.0:
+                # the static Shift is deterministic and first in the chain —
+                # apply once at cache time (reference re-shifts per sample)
+                h, v, i, d = T.np_shift_lf(h, v, i, d, cfg.train_shift)
+                gt = gt - np.float32(cfg.train_shift)
+                mpi = mpi.copy()
+                mpi[..., 4] -= np.float32(cfg.train_shift)
+            self.scenes.append(dict(
+                h=h, v=v, i=i, d=d, gt=gt.astype(np.float32),
+                mpi=pad_mpi(mpi.astype(np.float32)),
+                mask=mask.astype(np.int32)))
+
+        self.length = len(dataset) if len(dataset) else len(self.scenes)
+
+    def _window(self, scene: dict, f: int):
+        """Extract one stride-f window; returns field dict + crop offsets."""
+        win = self.win
+        gt = scene['gt'][::f, ::f]
+        hf, wf = gt.shape
+        assert hf >= win and wf >= win, \
+            (f'scene too small ({hf}x{wf}) for ps={self.ps} window {win} '
+             f'at downscale {f}; lower train_ps or train_max_downscale')
+
+        # exact RandomCrop(ps+16) position in the downsampled grid
+        # (inclusive upper bound, like the reference's random.randint)
+        y112 = self.rng.integers(0, hf - (self.ps + EXTRA) + 1)
+        x112 = self.rng.integers(0, wf - (self.ps + EXTRA) + 1)
+        ws_y = int(np.clip(y112 - GUARD, 0, max(hf - win, 0)))
+        ws_x = int(np.clip(x112 - GUARD, 0, max(wf - win, 0)))
+
+        def cut(arr, spatial_from):
+            sl = (slice(None),) * spatial_from + (
+                slice(None, None, f),) * 2
+            a = arr[sl]
+            sl2 = (slice(None),) * spatial_from + (
+                slice(ws_y, ws_y + win), slice(ws_x, ws_x + win))
+            return np.ascontiguousarray(a[sl2])
+
+        out = {
+            'h': cut(scene['h'], 1), 'v': cut(scene['v'], 1),
+            'i': cut(scene['i'], 1), 'd': cut(scene['d'], 1),
+            'gt': np.ascontiguousarray(
+                gt[ws_y:ws_y + win, ws_x:ws_x + win]) / np.float32(f),
+            'mask': cut(scene['mask'], 0),
+        }
+        mpi = cut(scene['mpi'], 1)
+        mpi = mpi.copy()
+        mpi[..., 4] /= np.float32(f)
+        out['mpi'] = mpi
+        return out, int(y112 - ws_y), int(x112 - ws_x)
+
+    def sample_batch(self, batch_size: int) -> Batch:
+        fields = {k: [] for k in ('h', 'v', 'i', 'd', 'gt', 'mpi', 'mask')}
+        y_offs, x_offs = [], []
+        for _ in range(batch_size):
+            idx = int(self.rng.integers(0, len(self.scenes)))
+            f = int(self.rng.integers(1, self.max_f + 1))
+            w, y_off, x_off = self._window(self.scenes[idx], f)
+            for k, arr in w.items():
+                fields[k].append(arr)
+            y_offs.append(y_off)
+            x_offs.append(x_off)
+
+        b = batch_size
+        if self.augment:
+            aug = AugParams(
+                shift=self.rng.uniform(-1.0, 1.0, b).astype(np.float32),
+                y_off=np.asarray(y_offs, np.int32),
+                x_off=np.asarray(x_offs, np.int32),
+                rot_k=self.rng.integers(0, 4, b).astype(np.int32),
+                color=np.stack([T.random_color_matrix() for _ in range(b)]),
+                brightness=(self.rng.uniform(-0.9, 0.9, b) + 1.0
+                            ).astype(np.float32),
+                contrast=(self.rng.uniform(-0.9, 0.9, b) + 1.0
+                          ).astype(np.float32),
+            )
+        else:
+            aug = AugParams(
+                shift=np.zeros(b, np.float32),
+                y_off=np.asarray(y_offs, np.int32),
+                x_off=np.asarray(x_offs, np.int32),
+                rot_k=np.zeros(b, np.int32),
+                color=np.broadcast_to(np.eye(3, dtype=np.float32),
+                                      (b, 3, 3)).copy(),
+                brightness=np.ones(b, np.float32),
+                contrast=np.ones(b, np.float32),
+            )
+        return Batch(
+            h=np.stack(fields['h']), v=np.stack(fields['v']),
+            i=np.stack(fields['i']), d=np.stack(fields['d']),
+            gt=np.stack(fields['gt']), mpi=np.stack(fields['mpi']),
+            mask=np.stack(fields['mask']), aug=aug)
+
+
+# ---------------------------------------------------------------------------
+# device side
+# ---------------------------------------------------------------------------
+
+def _rot90_sample(h, v, i, d, gt, mpi):
+    """One 90° rotation of a single sample (stacks (n,P,P,3), gt (P,P),
+    mpi (K,P,P,5)); the mask is deliberately NOT rotated (reference quirk,
+    see data/transforms.py Rotate90)."""
+    rot_s = lambda a: jnp.flip(jnp.swapaxes(a, -3, -2), -3)   # stacks / mpi
+    rot_g = lambda a: jnp.flip(jnp.swapaxes(a, -2, -1), -2)   # gt
+    h, v, i, d = rot_s(h), rot_s(v), rot_s(i), rot_s(d)
+    h, v = v, jnp.flip(h, -4)
+    i, d = d, jnp.flip(i, -4)
+    return h, v, i, d, rot_g(gt), rot_s(mpi)
+
+
+def augment_sample(h, v, i, d, gt, mpi, mask, aug: AugParams, ps: int):
+    """Apply the random augmentations to one window sample (device)."""
+    n = h.shape[0]
+
+    # sub-pixel EPI-Shift within the window
+    h, v, i, d = shift_lf(h, v, i, d, aug.shift)
+    gt = gt - aug.shift
+    mpi = mpi.at[..., 4].add(-aug.shift)
+
+    # RandomCrop completion + CenterCrop: the ps patch starts at
+    # (y_off + EXTRA/2) within the window (see TrainPipeline._window)
+    y0 = aug.y_off + EXTRA // 2
+    x0 = aug.x_off + EXTRA // 2
+    crop_s = lambda a: jax.lax.dynamic_slice(
+        a, (0, y0, x0, 0), (a.shape[0], ps, ps, a.shape[3]))
+    h, v, i, d, mpi = crop_s(h), crop_s(v), crop_s(i), crop_s(d), crop_s(mpi)
+    gt = jax.lax.dynamic_slice(gt, (y0, x0), (ps, ps))
+    mask = jax.lax.dynamic_slice(mask, (y0, x0), (ps, ps))
+
+    # RandomRotate: k ∈ {0..3} applications of rot90
+    def rot_times(k):
+        def branch(_):
+            a = (h, v, i, d, gt, mpi)
+            for _ in range(k):
+                a = _rot90_sample(*a)
+            return a
+        return branch
+    h, v, i, d, gt, mpi = jax.lax.switch(
+        aug.rot_k, [rot_times(k) for k in range(4)], None)
+
+    # RedistColor on the four stacks (channel-last einsum)
+    mix = lambda a: jnp.einsum('...c,dc->...d', a, aug.color)
+    h, v, i, d = mix(h), mix(v), mix(i), mix(d)
+
+    # Brightness then Contrast (contrast pivots on the h-stack mean)
+    h, v, i, d = (a * aug.brightness for a in (h, v, i, d))
+    pivot = jnp.mean(h) * (1.0 - aug.contrast)
+    h, v, i, d = (a * aug.contrast + pivot for a in (h, v, i, d))
+
+    return h, v, i, d, gt, mpi, mask
+
+
+def augment_batch(batch: Batch, ps: int):
+    """vmap of augment_sample over the batch (used inside the train step)."""
+    def one(h, v, i, d, gt, mpi, mask, *aug_fields):
+        return augment_sample(h, v, i, d, gt, mpi, mask,
+                              AugParams(*aug_fields), ps)
+    return jax.vmap(one)(batch.h, batch.v, batch.i, batch.d, batch.gt,
+                         batch.mpi, batch.mask, *batch.aug)

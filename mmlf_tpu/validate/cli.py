@@ -1,0 +1,260 @@
+"""Validation / inference CLI — full-scene metrics + artifact dump.
+
+``python -m mmlf_tpu.validate.cli OUTPUT_DIR DATASET [flags]`` with the
+reference's flag set (reference mmlf/validate/cli.py:190-211).
+
+Flow parity (reference :209-352): the model is rebuilt from the checkpoint's
+stored hyper-parameters, with CLI flags overriding only ``model_discrete``,
+the disparity range, and ``train_shift``; scenes run at full resolution
+(batch 1) through the (optionally ensembled) model; per-scene MSE /
+BadPix(0.07) with a margin mask; every head's output is converted to a
+108-bin posterior for KLD (all / multimodal / unimodal pixels) and NLL; all
+artifacts are written via ``save_batch`` and a LaTeX-ready result row is
+printed.
+
+Checkpoints: loads this package's ``checkpoint.msgpack`` or, if only a
+reference ``checkpoint.pt`` is present, converts it on the fly
+(utils/convert.py) — released reference weights evaluate directly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import click
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.hci4d import HCI4D
+from ..data.pipeline import pad_mpi
+from ..data import transforms as T
+from ..losses import masked_badpix, masked_mse
+from ..models import FeedForward
+from ..models.ensemble import ensemble_forward
+from ..ops.codecs import mpi_to_weights
+from ..ops.masks import create_mask_margin
+from ..train.checkpoint import CKPT_FILE, load_checkpoint_raw
+from . import posteriors as P
+
+
+def load_model_state(output_dir: str):
+    """Load (variables, stored_config_dict) from our or a torch checkpoint."""
+    if os.path.exists(os.path.join(output_dir, CKPT_FILE)):
+        restored, _, hyper = load_checkpoint_raw(output_dir)
+        return ({'params': restored['params'],
+                 'batch_stats': restored.get('batch_stats', {})}, hyper)
+
+    torch_path = os.path.join(output_dir, 'checkpoint.pt')
+    if os.path.exists(torch_path):
+        from ..utils.convert import load_reference_checkpoint
+        variables, cfg = load_reference_checkpoint(torch_path)
+        import torch
+        state = torch.load(torch_path, map_location='cpu',
+                           weights_only=False)
+        return variables, dict(state['hyper_parameters'])
+
+    raise FileNotFoundError(
+        f'no checkpoint.msgpack or checkpoint.pt in {output_dir}')
+
+
+def n_params(variables) -> int:
+    leaves = jax.tree_util.tree_leaves(variables)
+    return int(sum(np.size(x) for x in leaves))
+
+
+@click.command()
+@click.argument('output_dir', type=click.Path(exists=True))
+@click.argument('dataset', type=click.Path(exists=True))
+@click.option('--model_invertible', is_flag=True,
+              help='Use invertible architecture?')
+@click.option('--model_discrete', is_flag=True,
+              help='Discretize disparity output?')
+@click.option('--val_loss_margin', default=15,
+              help='Margin around each image to omit for the validation loss')
+@click.option('--val_ensamble', is_flag=True,
+              help='Use a network ensamble?')
+@click.option('--val_disp_min', default=-3.5,
+              help='Minimum disparity of dataset')
+@click.option('--val_disp_max', default=3.5,
+              help='Maximum disparity of dataset')
+@click.option('--val_disp_step', default=0.1,
+              help='Disparity increment for ensamble')
+@click.option('--train_shift', default=0.0, type=float,
+              help='Static shift to apply to off-center training datasets')
+def main(output_dir, dataset, model_invertible, model_discrete,
+         val_loss_margin, val_ensamble, val_disp_step, val_disp_min,
+         val_disp_max, train_shift):
+    run_validation(output_dir, dataset, model_discrete=model_discrete,
+                   val_loss_margin=val_loss_margin,
+                   val_ensamble=val_ensamble, val_disp_step=val_disp_step,
+                   val_disp_min=val_disp_min, val_disp_max=val_disp_max,
+                   train_shift=train_shift)
+
+
+def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
+                    val_disp_min: float, val_disp_max: float,
+                    val_disp_step: float, val_loss_margin: int,
+                    n_bins: int = 108):
+    """One jitted program per scene shape: forward + every metric.
+
+    Dozens of eager ops per scene would each pay a dispatch/compile round
+    trip; fusing the whole evaluation into a single XLA program makes the
+    per-scene cost one (cached) compile + one execution.
+    """
+
+    def scene_eval(variables, h, v, i, d, gt, mpi):
+        if val_ensamble:
+            output = ensemble_forward(
+                lambda vv, *a: model.apply(vv, *a), variables, h, v, i, d,
+                disp_min=val_disp_min, disp_max=val_disp_max,
+                disp_step=val_disp_step)
+        else:
+            output = model.apply(variables, h, v, i, d)
+
+        mask = create_mask_margin(gt.shape, val_loss_margin)
+        mse = masked_mse(output, gt, mask)
+        bad_pix = masked_badpix(output, gt, mask)
+
+        dist_gt = mpi_to_weights(mpi, cfg.val_disp_min, cfg.val_disp_max,
+                                 n_bins)
+
+        weights = None
+        if kwargs.get('model_discrete'):
+            weights = mpi_to_weights(mpi, cfg.val_disp_min,
+                                     cfg.val_disp_max, model.steps)
+
+        # head-specific 108-bin posterior + NLL; the branch is static per
+        # run, keyed off the STORED config (reference :316-331)
+        nll_eval = jnp.float32(0.0)
+        if kwargs.get('val_ensamble'):
+            # reference quirk: exp(logvars) is passed as "logvars" and
+            # exponentiated again inside (see posteriors.lmm_to_discrete)
+            dist = P.lmm_to_discrete(n_bins, cfg.val_disp_min,
+                                     cfg.val_disp_max, output['means'],
+                                     jnp.exp(output['logvars']))
+        elif kwargs.get('model_discrete'):
+            dist = output['posterior']
+            nll_eval = P.nll_discrete(weights, output['posterior'])
+        elif kwargs.get('model_uncert'):
+            dist = P.laplace_to_discrete(n_bins, cfg.val_disp_min,
+                                         cfg.val_disp_max, output['mean'],
+                                         output['logvar'])
+            nll_eval = P.nll_laplace(mpi, output['mean'], output['logvar'])
+        else:
+            nll_eval = P.nll_laplace(mpi, output['mean'],
+                                     jnp.zeros_like(output['mean']))
+            dist = P.mean_to_discrete(n_bins, cfg.val_disp_min,
+                                      cfg.val_disp_max, output['mean'])
+
+        mm_mask = P.multimodal_mask(mpi)
+        kld = P.kl_divergence(dist, dist_gt)
+        kld_mm = P.kl_divergence(dist, dist_gt, mm_mask)
+        kld_um = P.kl_divergence(dist, dist_gt, 1.0 - mm_mask)
+
+        metrics = {'mse': mse, 'bad_pix': bad_pix, 'nll': nll_eval,
+                   'kld': kld, 'kld_mm': kld_mm, 'kld_um': kld_um}
+        return output, metrics
+
+    return jax.jit(scene_eval)
+
+
+def run_validation(output_dir, dataset, model_discrete=False,
+                   val_loss_margin=15, val_ensamble=False,
+                   val_disp_step=0.1, val_disp_min=-3.5, val_disp_max=3.5,
+                   train_shift=0.0):
+    """Programmatic entry (the CLI body), returns the metric averages."""
+    variables, kwargs = load_model_state(output_dir)
+    # stored config + whitelisted CLI overrides (reference :214-217)
+    kwargs.update({'model_discrete': model_discrete,
+                   'val_disp_min': val_disp_min,
+                   'val_disp_max': val_disp_max,
+                   'train_shift': train_shift})
+    cfg = Config.from_dict(kwargs)
+
+    transform = T.Shift(float(kwargs['train_shift']))
+    valset = HCI4D(dataset, transform=transform)
+
+    model = FeedForward.from_config(cfg)
+    print('Number of parameters:', n_params(variables['params']))
+
+    n_bins = 108
+    scene_eval = make_scene_eval(model, cfg, kwargs, val_ensamble,
+                                 val_disp_min, val_disp_max, val_disp_step,
+                                 val_loss_margin, n_bins)
+    mse_avg = bad_pix_avg = 0.0
+    kld_avg = kld_mm_avg = kld_um_avg = nll_eval_avg = 0.0
+    runtime = 0.0
+    nll_eval = 0.0
+    n_scenes = len(valset.scenes)
+
+    for i in range(n_scenes):
+        print(f'Processing scene {i}...')
+        t_start = time.time()
+
+        h, v, ii, d, center, gt, mpi, _, index = valset[i]
+        stacks = [jnp.asarray(x[None]) for x in (h, v, ii, d)]
+        gt_j = jnp.asarray(gt[None])
+        mpi_j = jnp.asarray(pad_mpi(mpi)[None])
+
+        output, metrics = scene_eval(variables, *stacks, gt_j, mpi_j)
+        metrics = jax.tree_util.tree_map(float, metrics)
+
+        mse_avg += metrics['mse']
+        bad_pix_avg += metrics['bad_pix']
+        print(metrics['mse'], metrics['bad_pix'])
+
+        mean = np.asarray(output['mean'])
+        logvar = output.get('logvar')
+        logvar = None if logvar is None else np.asarray(logvar)
+
+        # ESE mixture parameters; note vars := exp(logvars) — the reference
+        # stores and *reuses* these as "logvars" downstream (quirk)
+        lmm = None
+        if output.get('means') is not None and \
+                output.get('logvars') is not None:
+            lmm = np.stack([np.asarray(output['means']),
+                            np.exp(np.asarray(output['logvars']))], 0)
+
+        scores = output.get('scores')
+        nll_arr = None if scores is None else \
+            np.transpose(np.asarray(scores), (0, 3, 1, 2))
+
+        posterior = output.get('posterior')
+        post_arr = None if posterior is None else \
+            np.transpose(np.asarray(posterior), (0, 3, 1, 2))
+
+        runtime = time.time() - t_start
+        valset.save_batch(output_dir, np.asarray(index)[None], mean,
+                          logvar, runtime, lmm, nll_arr, post_arr)
+
+        nll_eval = metrics['nll']
+        print(metrics['kld_um'], metrics['kld_mm'], metrics['kld'])
+
+        kld_avg += metrics['kld']
+        kld_mm_avg += metrics['kld_mm']
+        kld_um_avg += metrics['kld_um']
+        nll_eval_avg += nll_eval
+
+    mse_avg /= n_scenes
+    bad_pix_avg /= n_scenes
+    kld_avg /= n_scenes
+    kld_mm_avg /= n_scenes
+    kld_um_avg /= n_scenes
+    nll_eval_avg /= n_scenes
+
+    print('MSE & BadPix007 & KLD_UM & KLD_MM & KLD & - & TIME \\\\')
+    print(f'{mse_avg:.3f} & {bad_pix_avg:.3f} & {kld_um_avg:.3f} & '
+          f'{kld_mm_avg:.3f} & {kld_avg:.3f} & - & {runtime:.3f} \\\\')
+    print('NLL: ', nll_eval)
+
+    return {'mse': mse_avg, 'badpix': bad_pix_avg, 'kld': kld_avg,
+            'kld_mm': kld_mm_avg, 'kld_um': kld_um_avg,
+            'nll': nll_eval_avg, 'runtime': runtime}
+
+
+if __name__ == '__main__':
+    sys.exit(main())

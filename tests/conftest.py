@@ -14,6 +14,13 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# The environment's sitecustomize registers a remote-TPU backend and forces
+# jax_platforms via jax.config.update(), which outranks the env var — counter
+# it at config level before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 # persistent compilation cache: repeated pytest runs skip recompiles
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_tests')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
