@@ -50,7 +50,7 @@ def main():
 
     from mmlf_tpu.config import Config
     from mmlf_tpu.data.hci4d import HCI4D
-    from mmlf_tpu.data.pipeline import TrainPipeline
+    from mmlf_tpu.data.pipeline import DevicePipeline
     from mmlf_tpu.models import FeedForward
     from mmlf_tpu.train.loop import init_state, make_train_step
 
@@ -64,33 +64,32 @@ def main():
         bf16=True,
     ).finalize()
 
+    # device-resident pipeline: scenes live in HBM, batches are index-only
     dataset = HCI4D(data, cache=True, length=4096)
-    pipe = TrainPipeline(dataset, cfg, seed=0)
+    pipe = DevicePipeline(dataset, cfg, seed=0)
 
     model = FeedForward.from_config(cfg)
     tx = optax.scale_by_adam()
     dummy = [jnp.zeros((1, 9, cfg.train_ps, cfg.train_ps, 3))] * 4
     state = init_state(cfg, model, tx, dummy)
-    step = make_train_step(cfg, model, tx)
+    step = make_train_step(cfg, model, tx, cache=pipe.cache)
 
     print('compiling train step...', file=sys.stderr)
-    batch = pipe.sample_batch(BATCH)
     t0 = time.time()
-    state, loss = step(state, batch)
+    state, loss = step(state, pipe.sample_batch(BATCH))
     loss.block_until_ready()
     print(f'compile+first step: {time.time() - t0:.1f}s', file=sys.stderr)
 
     for _ in range(WARMUP):
-        batch = pipe.sample_batch(BATCH)
-        state, loss = step(state, batch)
+        state, loss = step(state, pipe.sample_batch(BATCH))
     loss.block_until_ready()
 
-    # measured loop: host sampling overlaps the async device step
-    batch = pipe.sample_batch(BATCH)
+    # measured loop: index-only batches; host sampling overlaps the device
     t0 = time.time()
-    for _ in range(MEASURE):
-        state, loss = step(state, batch)
-        batch = pipe.sample_batch(BATCH)
+    for k in range(MEASURE):
+        state, loss = step(state, pipe.sample_batch(BATCH))
+        if (k + 1) % 5 == 0:
+            float(loss)   # bounded queue depth; amortized sync
     loss.block_until_ready()
     dt = time.time() - t0
 

@@ -75,6 +75,8 @@ class Config:
     train_seed: int = 0         # RNG seed for data augmentation + init
     train_steps: int = 0        # stop after N steps; 0 = run forever
     bf16: bool = False          # bfloat16 activations in the conv trunk
+    host_pipeline: bool = False  # force host-side window extraction
+    remat: bool = False          # rematerialize conv blocks (big batches)
 
     def finalize(self) -> 'Config':
         """Apply the reference's derived-value rules.

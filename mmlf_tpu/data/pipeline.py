@@ -113,11 +113,15 @@ class TrainPipeline:
 
         self.length = len(dataset) if len(dataset) else len(self.scenes)
 
-    def _window(self, scene: dict, f: int):
-        """Extract one stride-f window; returns field dict + crop offsets."""
+    def _positions(self, shape, f: int):
+        """Sample window/crop positions in the stride-f grid.
+
+        Returns (ws_y, ws_x, y_off, x_off): window start (downsampled
+        coords) and the 112-region offset within the window.
+        """
         win = self.win
-        gt = scene['gt'][::f, ::f]
-        hf, wf = gt.shape
+        hf = (shape[0] + f - 1) // f
+        wf = (shape[1] + f - 1) // f
         assert hf >= win and wf >= win, \
             (f'scene too small ({hf}x{wf}) for ps={self.ps} window {win} '
              f'at downscale {f}; lower train_ps or train_max_downscale')
@@ -128,6 +132,13 @@ class TrainPipeline:
         x112 = self.rng.integers(0, wf - (self.ps + EXTRA) + 1)
         ws_y = int(np.clip(y112 - GUARD, 0, max(hf - win, 0)))
         ws_x = int(np.clip(x112 - GUARD, 0, max(wf - win, 0)))
+        return ws_y, ws_x, int(y112 - ws_y), int(x112 - ws_x)
+
+    def _window(self, scene: dict, f: int):
+        """Extract one stride-f window; returns field dict + crop offsets."""
+        win = self.win
+        ws_y, ws_x, y_off, x_off = self._positions(scene['gt'].shape, f)
+        gt = scene['gt'][::f, ::f]
 
         def cut(arr, spatial_from):
             sl = (slice(None),) * spatial_from + (
@@ -148,7 +159,7 @@ class TrainPipeline:
         mpi = mpi.copy()
         mpi[..., 4] /= np.float32(f)
         out['mpi'] = mpi
-        return out, int(y112 - ws_y), int(x112 - ws_x)
+        return out, y_off, x_off
 
     def sample_batch(self, batch_size: int) -> Batch:
         fields = {k: [] for k in ('h', 'v', 'i', 'd', 'gt', 'mpi', 'mask')}
@@ -258,3 +269,151 @@ def augment_batch(batch: Batch, ps: int):
                               AugParams(*aug_fields), ps)
     return jax.vmap(one)(batch.h, batch.v, batch.i, batch.d, batch.gt,
                          batch.mpi, batch.mask, *batch.aug)
+
+
+# ---------------------------------------------------------------------------
+# device-resident pipeline: scenes live in HBM, the host ships only indices
+# ---------------------------------------------------------------------------
+
+class DeviceSceneCache(NamedTuple):
+    """All (static-shifted) scenes stacked in device memory.
+
+    The full HCI training set (16 scenes × 4 stacks × 9×512×512×3 + MPI)
+    is ~3 GB — it fits TPU HBM comfortably, which turns the per-step input
+    problem from "copy 0.5 GB of windows through the host" into "ship a few
+    hundred bytes of indices"; window extraction becomes a gather inside the
+    jitted train step.
+
+    Stacks are stored pixel-major ``(S, H, W, n, 3)`` (MPI
+    ``(S, H, W, K, 5)``) so a window gather reads contiguous
+    (view, channel) lanes per pixel and the advanced-indexing result needs
+    only a cheap in-window moveaxis back to view-major.
+    """
+    h: jnp.ndarray           # (S, H, W, n, 3)
+    v: jnp.ndarray
+    i: jnp.ndarray
+    d: jnp.ndarray
+    gt: jnp.ndarray          # (S, H, W)
+    mpi: jnp.ndarray         # (S, H, W, K, 5)
+    mask: jnp.ndarray        # (S, H, W) int32
+
+
+class DeviceBatch(NamedTuple):
+    """Per-sample window coordinates + augmentation parameters (host RNG)."""
+    scene: jnp.ndarray       # (b,) int32 scene index
+    factor: jnp.ndarray      # (b,) int32 downsample factor
+    ws_y: jnp.ndarray        # (b,) int32 window start (downsampled coords)
+    ws_x: jnp.ndarray
+    aug: AugParams
+
+
+def build_device_cache(scenes, sharding=None) -> DeviceSceneCache:
+    """Stack TrainPipeline scene dicts and put them on device (replicated
+    across the mesh when a sharding is given)."""
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else jax.device_put
+
+    def stack(key):
+        arr = np.stack([s[key] for s in scenes])
+        if key in ('h', 'v', 'i', 'd', 'mpi'):
+            # (S, n|K, H, W, C) → pixel-major (S, H, W, n|K, C)
+            arr = np.ascontiguousarray(np.moveaxis(arr, 1, 3))
+        return put(arr)
+
+    return DeviceSceneCache(h=stack('h'), v=stack('v'), i=stack('i'),
+                            d=stack('d'), gt=stack('gt'), mpi=stack('mpi'),
+                            mask=stack('mask'))
+
+
+def gather_windows(cache: DeviceSceneCache, batch: DeviceBatch,
+                   win: int) -> Batch:
+    """Gather stride-f windows from the device cache (inside jit).
+
+    Row/col index vectors ``f * (ws + arange(win))`` make the downsample a
+    part of the gather, so the traced per-sample factor costs nothing extra.
+    GT and MPI disparities are rescaled by ``1/f`` (DownSampling semantics).
+    """
+    s_axis, h_axis = cache.gt.shape[0], cache.gt.shape[1]
+
+    def one(scene, f, ws_y, ws_x):
+        rows = scene * h_axis + (ws_y + jnp.arange(win, dtype=jnp.int32)) * f
+        cols = (ws_x + jnp.arange(win, dtype=jnp.int32)) * f
+        f_inv = 1.0 / f.astype(jnp.float32)
+
+        def pick(a, move):
+            # fold (S, H) so scene selection + row gather is ONE take of
+            # large contiguous (W, n, C) slices, then a column take —
+            # far cheaper on TPU than a 2-D per-pixel gather
+            flat = a.reshape((s_axis * h_axis,) + a.shape[2:])
+            w = jnp.take(jnp.take(flat, rows, axis=0), cols, axis=1)
+            return jnp.moveaxis(w, 2, 0) if move else w
+
+        h = pick(cache.h, True)
+        v = pick(cache.v, True)
+        i = pick(cache.i, True)
+        d = pick(cache.d, True)
+        gt = pick(cache.gt, False) * f_inv
+        mpi = pick(cache.mpi, True)
+        mpi = mpi.at[..., 4].multiply(f_inv)
+        mask = pick(cache.mask, False)
+        return h, v, i, d, gt, mpi, mask
+
+    h, v, i, d, gt, mpi, mask = jax.vmap(one)(
+        batch.scene, batch.factor, batch.ws_y, batch.ws_x)
+    return Batch(h=h, v=v, i=i, d=d, gt=gt, mpi=mpi, mask=mask,
+                 aug=batch.aug)
+
+
+class DevicePipeline(TrainPipeline):
+    """TrainPipeline variant emitting index-only batches for a device cache.
+
+    Shares the position/augmentation RNG logic with the host pipeline, so
+    both produce identically-distributed samples.
+    """
+
+    def __init__(self, dataset: HCI4D, cfg: Config, seed: int = 0,
+                 sharding=None):
+        super().__init__(dataset, cfg, seed)
+        shapes = {s['gt'].shape for s in self.scenes}
+        assert len(shapes) == 1, \
+            f'device cache needs uniform scene shapes, got {shapes}'
+        self.scene_shape = shapes.pop()
+        self.cache = build_device_cache(self.scenes, sharding)
+
+    def sample_batch(self, batch_size: int) -> DeviceBatch:
+        scene_idx = self.rng.integers(0, len(self.scenes), batch_size)
+        factors = self.rng.integers(1, self.max_f + 1, batch_size)
+        ws_y = np.zeros(batch_size, np.int32)
+        ws_x = np.zeros(batch_size, np.int32)
+        y_offs = np.zeros(batch_size, np.int32)
+        x_offs = np.zeros(batch_size, np.int32)
+        for b in range(batch_size):
+            ws_y[b], ws_x[b], y_offs[b], x_offs[b] = self._positions(
+                self.scene_shape, int(factors[b]))
+
+        if self.augment:
+            aug = AugParams(
+                shift=self.rng.uniform(-1.0, 1.0,
+                                       batch_size).astype(np.float32),
+                y_off=y_offs, x_off=x_offs,
+                rot_k=self.rng.integers(0, 4, batch_size).astype(np.int32),
+                color=np.stack([T.random_color_matrix()
+                                for _ in range(batch_size)]),
+                brightness=(self.rng.uniform(-0.9, 0.9, batch_size)
+                            + 1.0).astype(np.float32),
+                contrast=(self.rng.uniform(-0.9, 0.9, batch_size)
+                          + 1.0).astype(np.float32),
+            )
+        else:
+            b = batch_size
+            aug = AugParams(
+                shift=np.zeros(b, np.float32), y_off=y_offs, x_off=x_offs,
+                rot_k=np.zeros(b, np.int32),
+                color=np.broadcast_to(np.eye(3, dtype=np.float32),
+                                      (b, 3, 3)).copy(),
+                brightness=np.ones(b, np.float32),
+                contrast=np.ones(b, np.float32),
+            )
+        return DeviceBatch(scene=scene_idx.astype(np.int32),
+                           factor=factors.astype(np.int32),
+                           ws_y=ws_y, ws_x=ws_x, aug=aug)

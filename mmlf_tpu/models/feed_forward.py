@@ -79,6 +79,15 @@ class ConvBlock(nn.Module):
         return x
 
 
+def _block_cls(remat: bool):
+    """ConvBlock, optionally rematerialized (recompute activations in the
+    backward pass — trades ~1/3 extra FLOPs for O(blocks) less HBM, which
+    is what lets 96²-patch batches of 256+ fit one chip)."""
+    if remat:
+        return nn.remat(ConvBlock, static_argnums=(2,))
+    return ConvBlock
+
+
 class StreamNet(nn.Module):
     """Input net for one EPI stream: ``in_blocks`` ConvBlocks."""
     n_blocks: int
@@ -87,13 +96,15 @@ class StreamNet(nn.Module):
     use_bn: bool
     bn_momentum: float
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block = _block_cls(self.remat)
         for i in range(self.n_blocks):
-            x = ConvBlock(self.features, self.ksize, self.use_bn,
-                          self.bn_momentum, dtype=self.dtype,
-                          name=f'block{i}')(x, train)
+            x = block(self.features, self.ksize, self.use_bn,
+                      self.bn_momentum, dtype=self.dtype,
+                      name=f'block{i}')(x, train)
         return x
 
 
@@ -107,16 +118,18 @@ class OutNet(nn.Module):
     use_bn: bool
     bn_momentum: float
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block = _block_cls(self.remat)
         for i in range(self.n_blocks - 1):
-            x = ConvBlock(self.features, self.ksize, self.use_bn,
-                          self.bn_momentum, dtype=self.dtype,
-                          name=f'block{i}')(x, train)
-        x = ConvBlock(self.out_features, self.ksize, self.use_bn,
-                      self.bn_momentum, out_bn_relu=False, dtype=self.dtype,
-                      name=f'block{self.n_blocks - 1}')(x, train)
+            x = block(self.features, self.ksize, self.use_bn,
+                      self.bn_momentum, dtype=self.dtype,
+                      name=f'block{i}')(x, train)
+        x = block(self.out_features, self.ksize, self.use_bn,
+                  self.bn_momentum, out_bn_relu=False, dtype=self.dtype,
+                  name=f'block{self.n_blocks - 1}')(x, train)
         return x
 
 
@@ -141,10 +154,12 @@ class FeedForward(nn.Module):
     disp_min: float = -3.5
     disp_max: float = 3.5
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg) -> 'FeedForward':
         return cls(
+            remat=getattr(cfg, 'remat', False),
             ksize=cfg.model_ksize,
             in_blocks=cfg.model_in_blocks,
             out_blocks=cfg.model_out_blocks,
@@ -176,7 +191,8 @@ class FeedForward(nn.Module):
                  train: bool = False):
         use_bn = not self.no_batchnorm
         kw = dict(ksize=self.ksize, use_bn=use_bn,
-                  bn_momentum=self.batchnorm_momentum, dtype=self.dtype)
+                  bn_momentum=self.batchnorm_momentum, dtype=self.dtype,
+                  remat=self.remat)
 
         in_net_hv = StreamNet(self.in_blocks, self.chs, name='in_net_hv', **kw)
         in_net_id = None

@@ -61,6 +61,10 @@ from .loop import train
 @click.option('--train_seed', default=0, help='[TPU] RNG seed for init + augmentation')
 @click.option('--train_steps', default=0, help='[TPU] stop after N steps; 0 = run forever')
 @click.option('--bf16', is_flag=True, help='[TPU] bfloat16 conv trunk')
+@click.option('--host_pipeline', is_flag=True,
+              help='[TPU] force host-side window extraction')
+@click.option('--remat', is_flag=True,
+              help='[TPU] rematerialize conv blocks (fit bigger batches)')
 def main(output_dir, **kwargs):
     cfg = Config.from_dict(kwargs).finalize()
     train(cfg, output_dir)

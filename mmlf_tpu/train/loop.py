@@ -34,7 +34,8 @@ from flax import struct
 
 from ..config import Config
 from ..data.hci4d import HCI4D
-from ..data.pipeline import Batch, TrainPipeline, augment_batch
+from ..data.pipeline import (Batch, DevicePipeline, TrainPipeline,
+                             augment_batch, gather_windows, window_size)
 from ..losses import (improved_multi_uncertainty_l1, improved_uncertainty_l1,
                       masked_badpix, masked_cross_entropy, masked_l1,
                       masked_mse, multi_masked_l1)
@@ -118,12 +119,19 @@ def prepare_targets(cfg: Config, gt, mpi, mask):
 
 
 def make_train_step(cfg: Config, model: FeedForward, tx,
-                    bn_train: bool = True):
+                    bn_train: bool = True, cache=None):
     """Build the jitted train step (augment + fwd + bwd + Adam in one XLA
     program).  ``bn_train=False`` gives the ``--train_eval_mode`` variant
-    (BN uses running stats, no stat updates)."""
+    (BN uses running stats, no stat updates).
 
-    def step_fn(state: TrainState, batch: Batch):
+    With a ``DeviceSceneCache``, the incoming batch is index-only
+    (``DeviceBatch``) and window extraction happens in-step as a gather
+    from HBM — the TPU-native input path.
+    """
+
+    def step_fn(state: TrainState, batch):
+        if cache is not None:
+            batch = gather_windows(cache, batch, window_size(cfg.train_ps))
         h, v, i, d, gt, mpi, mask = augment_batch(batch, cfg.train_ps)
         gt, mpi, gt_classes, mask, mask_padding = prepare_targets(
             cfg, gt, mpi, mask)
@@ -215,7 +223,22 @@ def train(cfg: Config, output_dir: str,
         raise NotImplementedError(NOT_SUPPORTED_MSG)
 
     trainset = HCI4D(cfg.train_trainset, cache=True, length=4096)
-    pipeline = TrainPipeline(trainset, cfg, seed=cfg.train_seed)
+
+    # prefer the device-resident pipeline (scenes in HBM, index-only
+    # batches) unless forced off or the cache would not fit
+    scene_bytes = sum(
+        sum(a.nbytes for a in (d[0], d[1], d[2], d[3], d[5], d[6], d[7]))
+        for d in trainset.data)
+    use_device_cache = (not cfg.host_pipeline) and scene_bytes < 8 << 30
+    shapes_uniform = len({d[5].shape for d in trainset.data}) == 1
+    use_device_cache = use_device_cache and shapes_uniform
+
+    if use_device_cache:
+        pipeline = DevicePipeline(trainset, cfg, seed=cfg.train_seed)
+        cache = pipeline.cache
+    else:
+        pipeline = TrainPipeline(trainset, cfg, seed=cfg.train_seed)
+        cache = None
     valset = HCI4D(cfg.train_valset, cache=True)
 
     model = FeedForward.from_config(cfg)
@@ -246,7 +269,7 @@ def train(cfg: Config, output_dir: str,
         state = jax.device_put(state, replicated(mesh))
         b_shard = batch_sharding(mesh)
 
-    step_train = make_train_step(cfg, model, tx, bn_train=True)
+    step_train = make_train_step(cfg, model, tx, bn_train=True, cache=cache)
     step_eval = None   # built lazily for --train_eval_mode
 
     val_fwd = make_val_forward(cfg, model)
@@ -271,7 +294,8 @@ def train(cfg: Config, output_dir: str,
         eval_mode = (cfg.train_eval_mode
                      and i >= cfg.train_eval_mode_start)
         if eval_mode and step_eval is None:
-            step_eval = make_train_step(cfg, model, tx, bn_train=False)
+            step_eval = make_train_step(cfg, model, tx, bn_train=False,
+                                        cache=cache)
         state, loss_train = (step_eval if eval_mode else step_train)(
             state, batch)
 
