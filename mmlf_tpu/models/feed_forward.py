@@ -30,8 +30,9 @@ Heads (reference :270-305):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -51,6 +52,49 @@ def laplacian(x, mu, b):
     return 1.0 / (2.0 * b) * jnp.exp(-jnp.abs(x - mu) / b)
 
 
+class OrientedConv(nn.Module):
+    """Conv whose kernel is spatially re-oriented at apply time.
+
+    The reference normalizes EPI orientation by transposing the horizontal
+    stream's activations and transposing+mirroring the increasing diagonal
+    (reference feed_forward.py:236-256).  Because every conv here pads
+    symmetrically, those activation transforms commute with convolution:
+    ``P(conv_k(P(x))) == conv_{P(k)}(x)`` (transpose the kernel's spatial
+    axes) and ``F(conv_k(F(x))) == conv_{F(k)}(x)`` (mirror the kernel; for
+    symmetric padding the lo/hi pad swap is a no-op).  Re-orienting the tiny
+    ``k×k×Cin×Cout`` kernel therefore replaces six full-activation
+    transpose/flip copies per forward — the weights stay SHARED across
+    orientations because it is the same flax parameter.
+
+    Orientations: ``'n'`` identity, ``'t'`` H↔W transpose,
+    ``'tf'`` transpose + mirror (the diagonal normalization).
+    """
+    features: int
+    ksize: int
+    pad: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, orientation: str = 'n'):
+        k, p = self.ksize, self.pad
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+
+        kern = kernel
+        if orientation in ('t', 'tf'):
+            kern = jnp.swapaxes(kern, 0, 1)
+        if orientation == 'tf':
+            kern = jnp.flip(kern, axis=1)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kern.astype(self.dtype),
+            window_strides=(1, 1), padding=[(p, p), (p, p)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + bias.astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     """[Conv(k) → ReLU → Conv(k) → (BN) → (ReLU)] with shape-preserving pads."""
     features: int
@@ -59,17 +103,18 @@ class ConvBlock(nn.Module):
     bn_momentum: float = 0.1        # torch convention; flax gets 1 - this
     out_bn_relu: bool = True
     dtype: Any = jnp.float32
+    orientation: str = 'n'   # module field → static under nn.remat
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.ksize
         p1 = k // 2
         p2 = p1 if k % 2 == 1 else p1 - 1
-        x = nn.Conv(self.features, (k, k), padding=[(p1, p1), (p1, p1)],
-                    dtype=self.dtype, name='conv1')(x)
+        x = OrientedConv(self.features, k, p1, dtype=self.dtype,
+                         name='conv1')(x, self.orientation)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (k, k), padding=[(p2, p2), (p2, p2)],
-                    dtype=self.dtype, name='conv2')(x)
+        x = OrientedConv(self.features, k, p2, dtype=self.dtype,
+                         name='conv2')(x, self.orientation)
         if self.out_bn_relu:
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not train,
@@ -84,12 +129,16 @@ def _block_cls(remat: bool):
     backward pass — trades ~1/3 extra FLOPs for O(blocks) less HBM, which
     is what lets 96²-patch batches of 256+ fit one chip)."""
     if remat:
-        return nn.remat(ConvBlock, static_argnums=(2,))
+        return nn.remat(ConvBlock, static_argnums=(2,))   # train
     return ConvBlock
 
 
 class StreamNet(nn.Module):
-    """Input net for one EPI stream: ``in_blocks`` ConvBlocks."""
+    """Input net for one EPI stream: ``in_blocks`` ConvBlocks.
+
+    The same instance (= same weights) serves two streams in different
+    orientations; see OrientedConv.
+    """
     n_blocks: int
     features: int
     ksize: int
@@ -99,11 +148,12 @@ class StreamNet(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, orientation: str = 'n'):
         block = _block_cls(self.remat)
         for i in range(self.n_blocks):
             x = block(self.features, self.ksize, self.use_bn,
                       self.bn_momentum, dtype=self.dtype,
+                      orientation=orientation,
                       name=f'block{i}')(x, train)
         return x
 
@@ -203,26 +253,18 @@ class FeedForward(nn.Module):
         x_h = self._fold(h_views).astype(self.dtype)
         x_v = self._fold(v_views).astype(self.dtype)
 
-        # horizontal EPIs are vertical EPIs with H/W swapped
-        x_h = jnp.transpose(x_h, (0, 2, 1, 3))
-        f_h = in_net_hv(x_h, train)
-        f_h = jnp.transpose(f_h, (0, 2, 1, 3))
-
+        # orientation normalization happens in the KERNELS, not the data
+        # (see OrientedConv): 't' ≡ the reference's transpose of the
+        # horizontal stream, 'tf' ≡ transpose+mirror of the increasing
+        # diagonal (reference :236-256) — zero activation copies
+        f_h = in_net_hv(x_h, train, 't')
         f_v = in_net_hv(x_v, train)
 
         feats = [f_h, f_v]
         if not self.cross:
             x_i = self._fold(i_views).astype(self.dtype)
             x_d = self._fold(d_views).astype(self.dtype)
-
-            # increasing diagonal: swap H/W and mirror so its EPIs share the
-            # decreasing diagonal's orientation (reference :248-256)
-            x_i = jnp.transpose(x_i, (0, 2, 1, 3))
-            x_i = jnp.flip(x_i, axis=2)
-            f_i = in_net_id(x_i, train)
-            f_i = jnp.flip(f_i, axis=2)
-            f_i = jnp.transpose(f_i, (0, 2, 1, 3))
-
+            f_i = in_net_id(x_i, train, 'tf')
             f_d = in_net_id(x_d, train)
             feats += [f_i, f_d]
 
