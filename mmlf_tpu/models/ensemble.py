@@ -33,15 +33,24 @@ def ensemble_grid(disp_min: float, disp_max: float,
 
 
 def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
-                     disp_min: float, disp_max: float, disp_step: float):
+                     disp_min: float, disp_max: float, disp_step: float,
+                     posterior_impl: str = 'auto'):
     """Run the shift ensemble as a single scanned program.
 
     :param apply_fn: ``fn(variables, h, v, i, d) -> output dict`` (the UPR
         model's eval-mode apply)
+    :param posterior_impl: ``'pallas'`` computes the mixture posterior with
+        the VMEM-resident TPU kernel (ops/pallas/posterior.py — ~40× less
+        HBM traffic than accumulating in the scan carry); ``'scan'`` keeps
+        the carry accumulation (any backend); ``'auto'`` picks by backend.
     :returns: dict with ``mean``, ``logvar`` (min-logvar member), ``means``,
         ``logvars`` (``(K, b, H, W)`` stacked members, reference layout) and
         ``posterior`` (``(b, H, W, K)`` Laplace mixture, channel-last)
     """
+    if posterior_impl == 'auto':
+        posterior_impl = 'pallas' if jax.default_backend() == 'tpu' \
+            else 'scan'
+
     shifts = jnp.asarray(ensemble_grid(disp_min, disp_max, disp_step))
     n_members = shifts.shape[0]
     bins = bin_centers(disp_min, disp_max, n_members)
@@ -50,33 +59,43 @@ def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
     init = (
         jnp.full((b, hh, ww), jnp.inf, dtype=jnp.float32),    # best logvar
         jnp.zeros((b, hh, ww), dtype=jnp.float32),            # best mean
-        jnp.zeros((b, hh, ww, n_members), dtype=jnp.float32),  # posterior acc
     )
+    if posterior_impl == 'scan':
+        init = init + (
+            jnp.zeros((b, hh, ww, n_members), dtype=jnp.float32),)
 
     def member(carry, shift_disp):
-        best_lv, best_mean, post = carry
+        best_lv, best_mean = carry[0], carry[1]
         hs, vs, is_, ds = shift_lf(h_views, v_views, i_views, d_views,
                                    shift_disp)
         out = apply_fn(variables, hs, vs, is_, ds)
         mean = out['mean'] + shift_disp
         logvar = out['logvar']
-        var = jnp.exp(logvar)
 
         take = logvar < best_lv
         best_lv = jnp.where(take, logvar, best_lv)
         best_mean = jnp.where(take, mean, best_mean)
-        post = post + laplacian(bins, mean, var)
-        return (best_lv, best_mean, post), (mean, logvar)
+        new_carry = (best_lv, best_mean)
+        if posterior_impl == 'scan':
+            post = carry[2] + laplacian(bins, mean, jnp.exp(logvar))
+            new_carry = new_carry + (post,)
+        return new_carry, (mean, logvar)
 
-    (best_lv, best_mean, post), (means, logvars) = jax.lax.scan(
-        member, init, shifts)
+    carry, (means, logvars) = jax.lax.scan(member, init, shifts)
+    best_lv, best_mean = carry[0], carry[1]
+
+    if posterior_impl == 'scan':
+        posterior = carry[2] / float(n_members)
+    else:
+        from ..ops.pallas.posterior import ensemble_posterior
+        posterior = ensemble_posterior(means, logvars, disp_min, disp_max)
 
     return {
         'mean': best_mean,
         'logvar': best_lv,
         'means': means,
         'logvars': logvars,
-        'posterior': post / float(n_members),
+        'posterior': posterior,
     }
 
 
