@@ -77,6 +77,8 @@ class Config:
     bf16: bool = False          # bfloat16 activations in the conv trunk
     host_pipeline: bool = False  # force host-side window extraction
     remat: bool = False          # rematerialize conv blocks (big batches)
+    train_profile: bool = False  # capture a jax.profiler trace early on
+    train_nan_guard: bool = False  # stop if the loss goes non-finite
 
     def finalize(self) -> 'Config':
         """Apply the reference's derived-value rules.

@@ -65,6 +65,10 @@ from .loop import train
               help='[TPU] force host-side window extraction')
 @click.option('--remat', is_flag=True,
               help='[TPU] rematerialize conv blocks (fit bigger batches)')
+@click.option('--train_profile', is_flag=True,
+              help='[TPU] capture a jax.profiler trace of steps 10-15')
+@click.option('--train_nan_guard', is_flag=True,
+              help='[TPU] stop when the loss goes non-finite')
 def main(output_dir, **kwargs):
     cfg = Config.from_dict(kwargs).finalize()
     train(cfg, output_dir)

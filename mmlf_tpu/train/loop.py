@@ -296,8 +296,21 @@ def train(cfg: Config, output_dir: str,
         if eval_mode and step_eval is None:
             step_eval = make_train_step(cfg, model, tx, bn_train=False,
                                         cache=cache)
+        # observability (SURVEY §5: the reference has none beyond wall
+        # clock): optional profiler trace of steady-state steps + NaN guard
+        if cfg.train_profile and i == 10:
+            jax.profiler.start_trace(os.path.join(output_dir, 'profile'))
         state, loss_train = (step_eval if eval_mode else step_train)(
             state, batch)
+        if cfg.train_profile and i == 15:
+            jax.block_until_ready(loss_train)
+            jax.profiler.stop_trace()
+            print(f'profiler trace written to {output_dir}/profile')
+
+        if cfg.train_nan_guard and not np.isfinite(float(loss_train)):
+            raise FloatingPointError(
+                f'non-finite training loss at step {i}: '
+                f'{float(loss_train)}')
 
         time_elap = time.time() - time_start
 
