@@ -224,6 +224,12 @@ def train(cfg: Config, output_dir: str,
 
     trainset = HCI4D(cfg.train_trainset, cache=True, length=4096)
 
+    # data-parallel mesh over all local devices (when the batch divides)
+    ndev = len(jax.devices())
+    use_mesh = ndev > 1 and cfg.train_bs % ndev == 0
+    mesh = make_mesh(ndev if cfg.mesh_data == 0 else cfg.mesh_data) \
+        if use_mesh else None
+
     # prefer the device-resident pipeline (scenes in HBM, index-only
     # batches) unless forced off or the cache would not fit
     scene_bytes = sum(
@@ -234,7 +240,10 @@ def train(cfg: Config, output_dir: str,
     use_device_cache = use_device_cache and shapes_uniform
 
     if use_device_cache:
-        pipeline = DevicePipeline(trainset, cfg, seed=cfg.train_seed)
+        # cache replicated across the mesh so every chip gathers locally
+        pipeline = DevicePipeline(
+            trainset, cfg, seed=cfg.train_seed,
+            sharding=replicated(mesh) if mesh is not None else None)
         cache = pipeline.cache
     else:
         pipeline = TrainPipeline(trainset, cfg, seed=cfg.train_seed)
@@ -260,11 +269,6 @@ def train(cfg: Config, output_dir: str,
                            step=jnp.asarray(meta['iteration'], jnp.int32))
         i = int(meta['iteration'])
 
-    # data-parallel mesh over all local devices (when the batch divides)
-    ndev = len(jax.devices())
-    use_mesh = ndev > 1 and cfg.train_bs % ndev == 0
-    mesh = make_mesh(ndev if cfg.mesh_data == 0 else cfg.mesh_data) \
-        if use_mesh else None
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
         b_shard = batch_sharding(mesh)

@@ -1,0 +1,125 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: data-parallel
+training through the full train() loop, sharded-vs-single equivalence, and
+spatially-sharded full-scene inference."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmlf_tpu.config import Config
+from mmlf_tpu.data.synth import generate_dataset
+from mmlf_tpu.models import FeedForward
+from mmlf_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
+                                    spatial_sharding)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 virtual devices')
+
+
+@pytest.fixture(scope='module')
+def data_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp('par')
+    train_dir = str(root / 'train')
+    val_dir = str(root / 'val')
+    generate_dataset(train_dir, scenes=2, size=64, seed=0)
+    generate_dataset(val_dir, scenes=1, size=64, seed=3)
+    return train_dir, val_dir
+
+
+def test_train_loop_on_8_device_mesh(data_dirs, tmp_path):
+    """The full train() path with bs divisible by the mesh: device cache
+    replicated, batch sharded, gradients psum'd by XLA."""
+    from mmlf_tpu.train.loop import train
+
+    train_dir, val_dir = data_dirs
+    out = str(tmp_path / 'mesh_run')
+    os.makedirs(out)
+    cfg = Config(
+        train_trainset=train_dir, train_valset=val_dir,
+        train_bs=16, train_ps=32, train_lr=1e-3, train_max_downscale=1,
+        val_interval=3, val_loss_margin=5, train_steps=3,
+        model_chs=6, model_in_blocks=1, model_out_blocks=2,
+    ).finalize()
+    state = train(cfg, out, progress=False)
+    assert int(state.step) == 3
+    log = open(os.path.join(out, 'log.csv')).read().splitlines()
+    losses = [float(l.split(',')[1]) for l in log[1:]]
+    assert all(np.isfinite(losses))
+
+
+def test_sharded_step_matches_single_device(data_dirs):
+    """Loss and gradients on the 8-device mesh must equal the single-device
+    run (global-batch semantics; XLA inserts the gradient psum).
+
+    Gradients — not post-Adam params — are compared: Adam's first step is
+    ~lr·sign(m̂), so float-reassociation noise on near-zero gradients flips
+    entire parameter entries by 2·lr without any real divergence.
+    """
+    from mmlf_tpu.data import HCI4D
+    from mmlf_tpu.data.pipeline import DevicePipeline, augment_batch, \
+        gather_windows, window_size
+    from mmlf_tpu.losses import masked_l1
+    from mmlf_tpu.ops.masks import create_mask_margin
+
+    train_dir, _ = data_dirs
+    cfg = Config(train_bs=8, train_ps=32, train_lr=1e-2,
+                 train_max_downscale=1, model_chs=6, model_in_blocks=1,
+                 model_out_blocks=2, model_no_batchnorm=True).finalize()
+    ds = HCI4D(train_dir, cache=True)
+    pipe = DevicePipeline(ds, cfg, seed=0)
+    model = FeedForward.from_config(cfg)
+
+    batch = pipe.sample_batch(8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           *[jnp.zeros((1, 9, 32, 32, 3))] * 4)
+
+    @jax.jit
+    def loss_and_grads(params, b):
+        def loss_fn(p):
+            win = gather_windows(pipe.cache, b, window_size(cfg.train_ps))
+            h, v, i, d, gt, mpi, mask = augment_batch(win, cfg.train_ps)
+            mask = mask * create_mask_margin(mask.shape[-2:], 11)
+            out = model.apply({'params': p}, h, v, i, d)
+            return masked_l1(out, gt, mask)
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_1, g_1 = loss_and_grads(variables['params'], batch)
+
+    mesh = make_mesh(8)
+    params_rep = jax.device_put(variables['params'], replicated(mesh))
+    batch_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    loss_8, g_8 = loss_and_grads(params_rep, batch_sh)
+
+    assert float(loss_1) == pytest.approx(float(loss_8), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_1),
+                    jax.tree_util.tree_leaves(g_8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_spatially_sharded_inference_matches(data_dirs):
+    """Full-scene forward with H sharded over the 'space' axis: XLA's SPMD
+    partitioner handles conv halo exchange; output must match unsharded."""
+    train_dir, _ = data_dirs
+    cfg = Config(model_chs=6, model_in_blocks=1, model_out_blocks=2,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(0)
+    stacks = [jnp.asarray(rng.random((1, 9, 64, 64, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+
+    fwd = jax.jit(lambda v, *s: model.apply(v, *s)['mean'])
+    want = np.asarray(fwd(variables, *stacks))
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    sh = spatial_sharding(mesh, h_axis=2)
+    sharded = [jax.device_put(s, sh) for s in stacks]
+    v_rep = jax.device_put(variables, replicated(mesh))
+    got = np.asarray(fwd(v_rep, *sharded))
+
+    np.testing.assert_allclose(got, want, atol=1e-5)
