@@ -161,3 +161,19 @@ def test_parity_with_reference_weights(head):
         np.testing.assert_allclose(
             np.transpose(np.asarray(jout['posterior']), (0, 3, 1, 2)),
             tout['posterior'].numpy(), atol=2e-3)
+
+
+def test_unet_out_net():
+    """--model_unet swaps the fully-conv out net for a U-Net (reference
+    feed_forward.py:99-100,189-204); non-default path, shape check only."""
+    cfg = Config(model_unet=True, model_uncert=True, **SMALL).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(0)
+    stacks = [jnp.asarray(rng.random((1, 3, 32, 32, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    assert 'out_net' in variables['params']
+    assert 'down0' in variables['params']['out_net']
+    out = model.apply(variables, *stacks)
+    assert out['mean'].shape == (1, 32, 32)
+    assert out['logvar'].shape == (1, 32, 32)
