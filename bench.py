@@ -72,22 +72,22 @@ def main():
     tx = optax.scale_by_adam()
     dummy = [jnp.zeros((1, 9, cfg.train_ps, cfg.train_ps, 3))] * 4
     state = init_state(cfg, model, tx, dummy)
-    step = make_train_step(cfg, model, tx, cache=pipe.cache)
+    step = make_train_step(cfg, model, tx, use_cache=True)
 
     print('compiling train step...', file=sys.stderr)
     t0 = time.time()
-    state, loss = step(state, pipe.sample_batch(BATCH))
+    state, loss = step(state, pipe.sample_batch(BATCH), pipe.cache)
     loss.block_until_ready()
     print(f'compile+first step: {time.time() - t0:.1f}s', file=sys.stderr)
 
     for _ in range(WARMUP):
-        state, loss = step(state, pipe.sample_batch(BATCH))
+        state, loss = step(state, pipe.sample_batch(BATCH), pipe.cache)
     loss.block_until_ready()
 
     # measured loop: index-only batches; host sampling overlaps the device
     t0 = time.time()
     for k in range(MEASURE):
-        state, loss = step(state, pipe.sample_batch(BATCH))
+        state, loss = step(state, pipe.sample_batch(BATCH), pipe.cache)
         if (k + 1) % 5 == 0:
             float(loss)   # bounded queue depth; amortized sync
     loss.block_until_ready()

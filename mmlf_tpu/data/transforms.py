@@ -19,7 +19,6 @@ mask (reference rotates only the first 7 tuple elements, :1057 — preserved).
 
 from __future__ import annotations
 
-import math
 import random
 
 import numpy as np

@@ -23,8 +23,8 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Any, Optional
+
+from typing import Any
 
 import numpy as np
 import jax
@@ -34,7 +34,7 @@ from flax import struct
 
 from ..config import Config
 from ..data.hci4d import HCI4D
-from ..data.pipeline import (Batch, DevicePipeline, TrainPipeline,
+from ..data.pipeline import (DevicePipeline, TrainPipeline,
                              augment_batch, gather_windows, window_size)
 from ..losses import (improved_multi_uncertainty_l1, improved_uncertainty_l1,
                       masked_badpix, masked_cross_entropy, masked_l1,
@@ -119,18 +119,21 @@ def prepare_targets(cfg: Config, gt, mpi, mask):
 
 
 def make_train_step(cfg: Config, model: FeedForward, tx,
-                    bn_train: bool = True, cache=None):
+                    bn_train: bool = True, use_cache: bool = False):
     """Build the jitted train step (augment + fwd + bwd + Adam in one XLA
     program).  ``bn_train=False`` gives the ``--train_eval_mode`` variant
     (BN uses running stats, no stat updates).
 
-    With a ``DeviceSceneCache``, the incoming batch is index-only
+    With ``use_cache=True`` the incoming batch is index-only
     (``DeviceBatch``) and window extraction happens in-step as a gather
-    from HBM — the TPU-native input path.
+    from HBM — the TPU-native input path.  The cache is threaded through as
+    a jit ARGUMENT (``step(state, batch, cache)``): closing over it would
+    embed gigabytes of scene data as constants in the HLO (which a
+    remote-compile service may reject outright).
     """
 
-    def step_fn(state: TrainState, batch):
-        if cache is not None:
+    def step_fn(state: TrainState, batch, cache=None):
+        if use_cache:
             batch = gather_windows(cache, batch, window_size(cfg.train_ps))
         h, v, i, d, gt, mpi, mask = augment_batch(batch, cfg.train_ps)
         gt, mpi, gt_classes, mask, mask_padding = prepare_targets(
@@ -273,7 +276,8 @@ def train(cfg: Config, output_dir: str,
         state = jax.device_put(state, replicated(mesh))
         b_shard = batch_sharding(mesh)
 
-    step_train = make_train_step(cfg, model, tx, bn_train=True, cache=cache)
+    step_train = make_train_step(cfg, model, tx, bn_train=True,
+                                 use_cache=cache is not None)
     step_eval = None   # built lazily for --train_eval_mode
 
     val_fwd = make_val_forward(cfg, model)
@@ -299,13 +303,13 @@ def train(cfg: Config, output_dir: str,
                      and i >= cfg.train_eval_mode_start)
         if eval_mode and step_eval is None:
             step_eval = make_train_step(cfg, model, tx, bn_train=False,
-                                        cache=cache)
+                                        use_cache=cache is not None)
         # observability (SURVEY §5: the reference has none beyond wall
         # clock): optional profiler trace of steady-state steps + NaN guard
         if cfg.train_profile and i == 10:
             jax.profiler.start_trace(os.path.join(output_dir, 'profile'))
         state, loss_train = (step_eval if eval_mode else step_train)(
-            state, batch)
+            state, batch, cache)
         if cfg.train_profile and i == 15:
             jax.block_until_ready(loss_train)
             jax.profiler.stop_trace()

@@ -10,7 +10,6 @@ from __future__ import annotations
 import sys
 
 import click
-import numpy as np
 
 from .gmm2csv import mixture_curve
 

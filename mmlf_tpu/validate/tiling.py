@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def receptive_radius(ksize: int, in_blocks: int, out_blocks: int) -> int:

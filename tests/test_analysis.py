@@ -1,8 +1,6 @@
 """Analysis-suite tests: sparsification, clustering, mode counting, and the
 multimodal metrics — vectorized implementations vs brute-force oracles."""
 
-import os
-
 import numpy as np
 import pytest
 

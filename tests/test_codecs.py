@@ -1,7 +1,6 @@
 """Codec and mask tests (reference semantics: mmlf/utils/dl.py:109-182)."""
 
 import numpy as np
-import pytest
 
 from mmlf_tpu.ops import codecs, masks
 

@@ -10,8 +10,7 @@ from mmlf_tpu.config import Config
 from mmlf_tpu.data import HCI4D
 from mmlf_tpu.data.pipeline import (AugParams, DeviceBatch, DevicePipeline,
                                     TrainPipeline, augment_batch,
-                                    build_device_cache, gather_windows,
-                                    window_size)
+                                    gather_windows, window_size)
 from mmlf_tpu.data.synth import generate_dataset
 
 
