@@ -82,19 +82,20 @@ def main():
 
     for _ in range(WARMUP):
         state, loss = step(state, pipe.sample_batch(BATCH), pipe.cache)
-    loss.block_until_ready()
+        float(loss)   # keep the relay queue drained (see measured loop)
 
-    # measured loop: index-only batches; host sampling overlaps the device
+    # measured loop with a host readback EVERY step: on the tunneled axon
+    # backend block_until_ready can return early and deep async queues show
+    # multi-second variance — per-step sync costs one ~32 ms RTT but gives
+    # stable, conservative numbers
     t0 = time.time()
     for k in range(MEASURE):
         state, loss = step(state, pipe.sample_batch(BATCH), pipe.cache)
-        if (k + 1) % 5 == 0:
-            float(loss)   # bounded queue depth; amortized sync
-    loss.block_until_ready()
+        float(loss)
     dt = time.time() - t0
 
     patches_per_sec = BATCH * MEASURE / dt
-    print(f'steady step: {dt / MEASURE * 1000:.1f} ms '
+    print(f'steady step (sync each): {dt / MEASURE * 1000:.1f} ms '
           f'(loss {float(loss):.4f})', file=sys.stderr)
 
     print(json.dumps({

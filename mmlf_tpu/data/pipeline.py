@@ -31,11 +31,12 @@ would have seen.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..config import Config
 from ..ops.shift import shift_lf
@@ -281,7 +282,7 @@ def augment_batch(batch: Batch, ps: int):
 # device-resident pipeline: scenes live in HBM, the host ships only indices
 # ---------------------------------------------------------------------------
 
-class DeviceSceneCache(NamedTuple):
+class DeviceSceneCache(struct.PyTreeNode):
     """All (static-shifted) scenes stacked in device memory.
 
     The full HCI training set (16 scenes × 4 stacks × 9×512×512×3 + MPI)
@@ -290,18 +291,23 @@ class DeviceSceneCache(NamedTuple):
     hundred bytes of indices"; window extraction becomes a gather inside the
     jitted train step.
 
-    Stacks are stored pixel-major ``(S, H, W, n, 3)`` (MPI
-    ``(S, H, W, K, 5)``) so a window gather reads contiguous
-    (view, channel) lanes per pixel and the advanced-indexing result needs
-    only a cheap in-window moveaxis back to view-major.
+    Layout notes (both matter for speed):
+      * pixel-major ``(·, W, n, 3)`` (MPI ``(·, W, K, 5)``) so a window
+        gather reads contiguous (view, channel) lanes per pixel;
+      * the scene and row axes are PRE-FLATTENED to ``(S·H, W, ...)`` on the
+        host — the cache travels through jit as an *argument* (a closure
+        would embed it as HLO constants and blow up remote compilation),
+        and an in-jit reshape of an argument re-tiles gigabytes per step.
+    ``height`` rides along as static metadata for row-index arithmetic.
     """
-    h: jnp.ndarray           # (S, H, W, n, 3)
-    v: jnp.ndarray
-    i: jnp.ndarray
-    d: jnp.ndarray
-    gt: jnp.ndarray          # (S, H, W)
-    mpi: jnp.ndarray         # (S, H, W, K, 5)
-    mask: jnp.ndarray        # (S, H, W) int32
+    h: Any                   # (S*H, W, n, 3)
+    v: Any
+    i: Any
+    d: Any
+    gt: Any                  # (S*H, W)
+    mpi: Any                 # (S*H, W, K, 5)
+    mask: Any                # (S*H, W) int32
+    height: int = struct.field(pytree_node=False, default=0)
 
 
 class DeviceBatch(NamedTuple):
@@ -318,17 +324,19 @@ def build_device_cache(scenes, sharding=None) -> DeviceSceneCache:
     across the mesh when a sharding is given)."""
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
         else jax.device_put
+    height = scenes[0]['gt'].shape[0]
 
     def stack(key):
         arr = np.stack([s[key] for s in scenes])
         if key in ('h', 'v', 'i', 'd', 'mpi'):
             # (S, n|K, H, W, C) → pixel-major (S, H, W, n|K, C)
             arr = np.ascontiguousarray(np.moveaxis(arr, 1, 3))
-        return put(arr)
+        # fold (S, H) on the host — see the class docstring
+        return put(arr.reshape((-1,) + arr.shape[2:]))
 
     return DeviceSceneCache(h=stack('h'), v=stack('v'), i=stack('i'),
                             d=stack('d'), gt=stack('gt'), mpi=stack('mpi'),
-                            mask=stack('mask'))
+                            mask=stack('mask'), height=height)
 
 
 def gather_windows(cache: DeviceSceneCache, batch: DeviceBatch,
@@ -339,7 +347,7 @@ def gather_windows(cache: DeviceSceneCache, batch: DeviceBatch,
     part of the gather, so the traced per-sample factor costs nothing extra.
     GT and MPI disparities are rescaled by ``1/f`` (DownSampling semantics).
     """
-    s_axis, h_axis = cache.gt.shape[0], cache.gt.shape[1]
+    h_axis = cache.height
 
     def one(scene, f, ws_y, ws_x):
         rows = scene * h_axis + (ws_y + jnp.arange(win, dtype=jnp.int32)) * f
@@ -347,11 +355,10 @@ def gather_windows(cache: DeviceSceneCache, batch: DeviceBatch,
         f_inv = 1.0 / f.astype(jnp.float32)
 
         def pick(a, move):
-            # fold (S, H) so scene selection + row gather is ONE take of
-            # large contiguous (W, n, C) slices, then a column take —
-            # far cheaper on TPU than a 2-D per-pixel gather
-            flat = a.reshape((s_axis * h_axis,) + a.shape[2:])
-            w = jnp.take(jnp.take(flat, rows, axis=0), cols, axis=1)
+            # scene selection + row gather is ONE take of large contiguous
+            # (W, n, C) slices on the pre-flattened (S·H, ...) cache, then a
+            # column take — far cheaper on TPU than a 2-D per-pixel gather
+            w = jnp.take(jnp.take(a, rows, axis=0), cols, axis=1)
             return jnp.moveaxis(w, 2, 0) if move else w
 
         h = pick(cache.h, True)
