@@ -178,6 +178,15 @@ def run_validation(output_dir, dataset, model_discrete=False,
     transform = T.Shift(float(kwargs['train_shift']))
     valset = HCI4D(dataset, transform=transform)
 
+    # inference is eval-mode only: fold BatchNorm into the convolutions
+    # (one fewer full-activation pass per block; the 70-member ensemble
+    # pays it 70x per scene) — the U-Net variant is not foldable
+    if not cfg.model_no_batchnorm and not cfg.model_unet:
+        from ..utils.fold_bn import fold_batchnorm
+        variables = fold_batchnorm(variables)
+        cfg = Config.from_dict({**cfg.to_dict(),
+                                'model_no_batchnorm': True})
+
     model = FeedForward.from_config(cfg)
     print('Number of parameters:', n_params(variables['params']))
 
