@@ -75,6 +75,7 @@ class Config:
     train_seed: int = 0         # RNG seed for data augmentation + init
     train_steps: int = 0        # stop after N steps; 0 = run forever
     bf16: bool = False          # bfloat16 activations in the conv trunk
+    cache_bf16: bool = False    # bfloat16 *image* scene cache (gt/MPI stay fp32)
     host_pipeline: bool = False  # force host-side window extraction
     remat: bool = False          # rematerialize conv blocks (big batches)
     train_profile: bool = False  # capture a jax.profiler trace early on

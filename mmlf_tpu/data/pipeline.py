@@ -43,9 +43,11 @@ from ..ops.shift import shift_lf
 from . import transforms as T
 from .hci4d import HCI4D
 
-GUARD = 4          # wrap guard for the ±1 px random shift at the outer views
+GUARD = 8          # wrap guard for the ±1 px random shift at the outer views
 EXTRA = 16         # RandomCrop(ps+16) → CenterCrop(ps) band
 MAX_PLANES = 12
+SNAP_PAD = 4       # window starts this far before the RandomCrop position…
+MIN_WRAP_GUARD = 5  # …and the crop keeps ≥ this many guard pixels each side
 
 
 class AugParams(NamedTuple):
@@ -71,7 +73,9 @@ class Batch(NamedTuple):
 
 
 def window_size(ps: int) -> int:
-    return ps + EXTRA + 2 * GUARD
+    """Window side = patch + crop band + wrap guards, rounded up to the TPU
+    sublane tile (16) so windows are DMA-able slices of the packed cache."""
+    return (ps + EXTRA + 2 * GUARD + 15) // 16 * 16
 
 
 def pad_mpi(mpi: np.ndarray, k: int = MAX_PLANES) -> np.ndarray:
@@ -114,11 +118,33 @@ class TrainPipeline:
 
         self.length = len(dataset) if len(dataset) else len(self.scenes)
 
+        # clamp the downsample range to factors whose level still fits one
+        # window (the reference would crash cropping a too-small image;
+        # degrading gracefully is strictly more robust)
+        min_dim = min(min(s['gt'].shape) for s in self.scenes)
+        fit = self.max_f
+        while fit > 1 and (min_dim + fit - 1) // fit < self.win:
+            fit -= 1
+        if fit < self.max_f:
+            print(f'train_max_downscale clamped {self.max_f} -> {fit}: '
+                  f'window {self.win} does not fit a {min_dim}px scene '
+                  f'at coarser levels')
+            self.max_f = fit
+
     def _positions(self, shape, f: int):
         """Sample window/crop positions in the stride-f grid.
 
         Returns (ws_y, ws_x, y_off, x_off): window start (downsampled
         coords) and the 112-region offset within the window.
+
+        The window start is snapped DOWN to the packed cache's DMA tile
+        grid (rows to 8, columns to 16 — ops/pallas/window_gather.py); the
+        snap distance is absorbed into the in-window crop offset, so the
+        visible ps-patch position ``ws + off`` keeps exactly the sampled
+        RandomCrop distribution.  The offset is clamped so the sub-pixel
+        shift's circular wrap keeps >= MIN_WRAP_GUARD pixels of guard on
+        every side of the crop; the clamp only bites in a <=15-pixel band
+        at the far scene edge of coarse levels (documented deviation).
         """
         win = self.win
         hf = (shape[0] + f - 1) // f
@@ -131,9 +157,11 @@ class TrainPipeline:
         # (inclusive upper bound, like the reference's random.randint)
         y112 = self.rng.integers(0, hf - (self.ps + EXTRA) + 1)
         x112 = self.rng.integers(0, wf - (self.ps + EXTRA) + 1)
-        ws_y = int(np.clip(y112 - GUARD, 0, max(hf - win, 0)))
-        ws_x = int(np.clip(x112 - GUARD, 0, max(wf - win, 0)))
-        return ws_y, ws_x, int(y112 - ws_y), int(x112 - ws_x)
+        ws_y = int(np.clip(y112 - SNAP_PAD, 0, max(hf - win, 0))) // 8 * 8
+        ws_x = int(np.clip(x112 - SNAP_PAD, 0, max(wf - win, 0))) // 16 * 16
+        max_off = win - self.ps - EXTRA // 2 - MIN_WRAP_GUARD
+        return (ws_y, ws_x, min(int(y112 - ws_y), max_off),
+                min(int(x112 - ws_x), max_off))
 
     def _window(self, scene: dict, f: int):
         """Extract one stride-f window; returns field dict + crop offsets."""
@@ -282,99 +310,124 @@ def augment_batch(batch: Batch, ps: int):
 # device-resident pipeline: scenes live in HBM, the host ships only indices
 # ---------------------------------------------------------------------------
 
-class DeviceSceneCache(struct.PyTreeNode):
-    """All (static-shifted) scenes stacked in device memory.
+class PackedCache(struct.PyTreeNode):
+    """Packed tile-aligned scene pyramid in device memory.
 
-    The full HCI training set (16 scenes × 4 stacks × 9×512×512×3 + MPI)
-    is ~3 GB — it fits TPU HBM comfortably, which turns the per-step input
-    problem from "copy 0.5 GB of windows through the host" into "ship a few
-    hundred bytes of indices"; window extraction becomes a gather inside the
-    jitted train step.
+    One entry per downsample factor f ∈ {1..max_f} (the reference's
+    RandomDownSampling range, mmlf/data/hci4d.py): each level holds every
+    (static-shifted) scene at stride f, pre-scaled (gt and MPI disparities
+    divided by f), laid out so a training window is a rectangular DMA:
 
-    Layout notes (both matter for speed):
-      * pixel-major ``(·, W, n, 3)`` (MPI ``(·, W, K, 5)``) so a window
-        gather reads contiguous (view, channel) lanes per pixel;
-      * the scene and row axes are PRE-FLATTENED to ``(S·H, W, ...)`` on the
-        host — the cache travels through jit as an *argument* (a closure
-        would embed it as HLO constants and blow up remote compilation),
-        and an in-jit reshape of an argument re-tiles gigabytes per step.
-    ``height`` rides along as static metadata for row-index arithmetic.
+      * ``img[f-1]``: ``(S, Hf, Wf, CI)`` — all four view stacks folded into
+        the lane dim, channel order ``stack(4) × view(n) × rgb(3)`` padded
+        to a multiple of 128 lanes (CI = 128 for 9 views).  fp32, or bf16
+        with ``cache_bf16`` (images only — the model casts to bf16 anyway);
+      * ``aux[f-1]``: ``(S, Hf, Wf*8)`` fp32 — per-pixel [gt, mask, 0…];
+      * ``mpi[f-1]``: ``(S, Hf, Wf*64)`` fp32 — plane-major K*5 = 60 used.
+
+    The pyramid costs ×(1 + 1/4 + 1/9 + 1/16) ≈ 1.42 the base memory and
+    buys stride-free, branch-free window extraction (see
+    ops/pallas/window_gather.py).  The full 16-scene HCI training set packs
+    to ≈ 4.8 GB fp32 (2.4 GB with ``cache_bf16``) — comfortably in HBM.
     """
-    h: Any                   # (S*H, W, n, 3)
-    v: Any
-    i: Any
-    d: Any
-    gt: Any                  # (S*H, W)
-    mpi: Any                 # (S*H, W, K, 5)
-    mask: Any                # (S*H, W) int32
-    height: int = struct.field(pytree_node=False, default=0)
+    img: Any                 # tuple over levels: (S, Hf, Wf, CI)
+    aux: Any                 # tuple over levels: (S, Hf, Wf*8)
+    mpi: Any                 # tuple over levels: (S, Hf, Wf*64)
+    views: int = struct.field(pytree_node=False, default=9)
 
 
 class DeviceBatch(NamedTuple):
     """Per-sample window coordinates + augmentation parameters (host RNG)."""
     scene: jnp.ndarray       # (b,) int32 scene index
-    factor: jnp.ndarray      # (b,) int32 downsample factor
-    ws_y: jnp.ndarray        # (b,) int32 window start (downsampled coords)
-    ws_x: jnp.ndarray
+    factor: jnp.ndarray      # (b,) int32 downsample factor (1-based)
+    ws_y: jnp.ndarray        # (b,) int32 window start (level coords, 8-snap)
+    ws_x: jnp.ndarray        # (b,) int32 window start (level coords, 16-snap)
     aug: AugParams
 
 
-def build_device_cache(scenes, sharding=None) -> DeviceSceneCache:
-    """Stack TrainPipeline scene dicts and put them on device (replicated
-    across the mesh when a sharding is given)."""
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def build_device_cache(scenes, max_f: int = 4, sharding=None,
+                       img_dtype=np.float32) -> PackedCache:
+    """Pack TrainPipeline scene dicts into the pyramid layout (host numpy,
+    one-time) and put the levels on device (replicated across the mesh when
+    a sharding is given)."""
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
         else jax.device_put
-    height = scenes[0]['gt'].shape[0]
+    n = scenes[0]['h'].shape[0]
+    ci = _round_up(4 * n * 3, 128)
 
-    def stack(key):
-        arr = np.stack([s[key] for s in scenes])
-        if key in ('h', 'v', 'i', 'd', 'mpi'):
-            # (S, n|K, H, W, C) → pixel-major (S, H, W, n|K, C)
-            arr = np.ascontiguousarray(np.moveaxis(arr, 1, 3))
-        # fold (S, H) on the host — see the class docstring
-        return put(arr.reshape((-1,) + arr.shape[2:]))
+    from ..ops.pallas.window_gather import AUX_CH, MPI_CH
 
-    return DeviceSceneCache(h=stack('h'), v=stack('v'), i=stack('i'),
-                            d=stack('d'), gt=stack('gt'), mpi=stack('mpi'),
-                            mask=stack('mask'), height=height)
+    img_levels, aux_levels, mpi_levels = [], [], []
+    for f in range(1, max_f + 1):
+        imgs, auxs, mpis = [], [], []
+        for s in scenes:
+            # (n, Hf, Wf, 3) per stack → (Hf, Wf, n*3), stack-major concat
+            planes = []
+            for k in ('h', 'v', 'i', 'd'):
+                a = np.moveaxis(s[k][:, ::f, ::f], 0, 2)   # (Hf, Wf, n, 3)
+                planes.append(a.reshape(a.shape[0], a.shape[1], n * 3))
+            hf, wf = planes[0].shape[:2]
+            img = np.zeros((hf, wf, ci), np.float32)
+            img[..., :4 * n * 3] = np.concatenate(planes, -1)
+            imgs.append(img)
+
+            aux = np.zeros((hf, wf, AUX_CH), np.float32)
+            aux[..., 0] = s['gt'][::f, ::f] / np.float32(f)
+            aux[..., 1] = s['mask'][::f, ::f]
+            auxs.append(aux.reshape(hf, wf * AUX_CH))
+
+            m = np.moveaxis(s['mpi'][:, ::f, ::f], 0, 2)   # (Hf, Wf, K, 5)
+            m = m.copy()
+            m[..., 4] /= np.float32(f)
+            k5 = m.shape[2] * 5
+            mp = np.zeros((hf, wf, MPI_CH), np.float32)
+            mp[..., :k5] = m.reshape(hf, wf, k5)
+            mpis.append(mp.reshape(hf, wf * MPI_CH))
+
+        img_levels.append(put(np.stack(imgs).astype(img_dtype)))
+        aux_levels.append(put(np.stack(auxs)))
+        mpi_levels.append(put(np.stack(mpis)))
+
+    return PackedCache(img=tuple(img_levels), aux=tuple(aux_levels),
+                       mpi=tuple(mpi_levels), views=n)
 
 
-def gather_windows(cache: DeviceSceneCache, batch: DeviceBatch,
+def gather_windows(cache: PackedCache, batch: DeviceBatch,
                    win: int) -> Batch:
-    """Gather stride-f windows from the device cache (inside jit).
+    """Extract per-sample windows from the packed pyramid (inside jit) and
+    unpack them into the reference's stack layout.
 
-    Row/col index vectors ``f * (ws + arange(win))`` make the downsample a
-    part of the gather, so the traced per-sample factor costs nothing extra.
-    GT and MPI disparities are rescaled by ``1/f`` (DownSampling semantics).
+    On a single TPU chip this is the Pallas DMA kernel
+    (ops/pallas/window_gather.py); elsewhere the XLA fallback.  GT/MPI
+    disparities come back pre-scaled (DownSampling semantics baked into the
+    pyramid levels).
     """
-    h_axis = cache.height
+    from ..ops.pallas.window_gather import window_gather
 
-    def one(scene, f, ws_y, ws_x):
-        rows = scene * h_axis + (ws_y + jnp.arange(win, dtype=jnp.int32)) * f
-        cols = (ws_x + jnp.arange(win, dtype=jnp.int32)) * f
-        f_inv = 1.0 / f.astype(jnp.float32)
+    img, aux, mpi = window_gather(
+        cache.img, cache.aux, cache.mpi, batch.scene, batch.factor - 1,
+        batch.ws_y, batch.ws_x, win)
 
-        def pick(a, move):
-            # scene selection + row gather is ONE take of large contiguous
-            # (W, n, C) slices on the pre-flattened (S·H, ...) cache, then a
-            # column take — far cheaper on TPU than a 2-D per-pixel gather
-            w = jnp.take(jnp.take(a, rows, axis=0), cols, axis=1)
-            return jnp.moveaxis(w, 2, 0) if move else w
+    b = img.shape[0]
+    n3 = cache.views * 3
 
-        h = pick(cache.h, True)
-        v = pick(cache.v, True)
-        i = pick(cache.i, True)
-        d = pick(cache.d, True)
-        gt = pick(cache.gt, False) * f_inv
-        mpi = pick(cache.mpi, True)
-        mpi = mpi.at[..., 4].multiply(f_inv)
-        mask = pick(cache.mask, False)
-        return h, v, i, d, gt, mpi, mask
+    def stack_of(k):
+        s = img[..., k * n3:(k + 1) * n3].astype(jnp.float32)
+        s = s.reshape(b, win, win, cache.views, 3)
+        return jnp.transpose(s, (0, 3, 1, 2, 4))
 
-    h, v, i, d, gt, mpi, mask = jax.vmap(one)(
-        batch.scene, batch.factor, batch.ws_y, batch.ws_x)
-    return Batch(h=h, v=v, i=i, d=d, gt=gt, mpi=mpi, mask=mask,
-                 aug=batch.aug)
+    aux = aux.reshape(b, win, win, -1)
+    gt = aux[..., 0]
+    mask = aux[..., 1].astype(jnp.int32)
+    mpi = mpi.reshape(b, win, win, -1)[..., :MAX_PLANES * 5]
+    mpi = jnp.transpose(mpi.reshape(b, win, win, MAX_PLANES, 5),
+                        (0, 3, 1, 2, 4))
+    return Batch(h=stack_of(0), v=stack_of(1), i=stack_of(2), d=stack_of(3),
+                 gt=gt, mpi=mpi, mask=mask, aug=batch.aug)
 
 
 class DevicePipeline(TrainPipeline):
@@ -391,7 +444,10 @@ class DevicePipeline(TrainPipeline):
         assert len(shapes) == 1, \
             f'device cache needs uniform scene shapes, got {shapes}'
         self.scene_shape = shapes.pop()
-        self.cache = build_device_cache(self.scenes, sharding)
+        img_dtype = jnp.bfloat16 if getattr(cfg, 'cache_bf16', False) \
+            else np.float32
+        self.cache = build_device_cache(self.scenes, self.max_f, sharding,
+                                        img_dtype=img_dtype)
 
     def sample_batch(self, batch_size: int) -> DeviceBatch:
         scene_idx = self.rng.integers(0, len(self.scenes), batch_size)

@@ -1,0 +1,173 @@
+"""Pallas window gather: per-sample training windows as pure DMA.
+
+The train step consumes ``(win, win)`` pixel windows cut from cached scenes
+at a per-sample random position, scene index, and downsample level.  The
+reference does this on the host in DataLoader workers (deepcopy + crop,
+reference mmlf/train/cli.py:72-92); round 1 did it as an XLA ``take``-pair
+gather, which lowers to a scalarized per-row gather loop on TPU and ran at
+~30 GB/s effective (85 ms of a 280 ms step at bs=64).
+
+TPU-native design (round 2):
+
+  * scenes live in HBM as a *packed pyramid* (``data/pipeline.py``): one
+    level per downsample factor, each a dense tile-aligned array —
+    images ``(S, Hf, Wf, CI)`` with all four view stacks folded into the
+    lane (channel) dimension (``CI`` a multiple of 128), and flat-packed
+    fp32 aux/MPI planes ``(S, Hf, Wf*8)`` / ``(S, Hf, Wf*64)``;
+  * window extraction is a rectangular HBM→HBM **DMA** per (sample, field),
+    issued by a Pallas kernel with scalar-prefetched indices — no gather
+    instructions, no VMEM round trip, no lane padding waste;
+  * the per-sample level choice is a ``pl.when`` branch, so only the
+    selected level's DMA is issued (an XLA ``lax.switch`` under ``vmap``
+    executes *all* branches and was measured 3.6x slower than the takes
+    it was meant to replace);
+  * window offsets are tile-aligned by the host sampler (rows snapped to 8,
+    columns to 16 — see ``TrainPipeline._positions``; the snap is absorbed
+    by the crop guard band, so the visible patch distribution is unchanged).
+
+Measured on a v5e: 64 windows x (128² x 128ch img + aux + MPI) in ~6 ms —
+within ~3x of the pure memcpy roofline, vs 85 ms for the XLA gather.
+
+The XLA fallback (``xla_window_gather``) is used off-TPU and on multi-device
+meshes (tests, ``dryrun_multichip``): same semantics, auto-shardable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# host-side offset alignment contract (see module docstring)
+SNAP_Y = 8
+SNAP_X = 16
+AUX_CH = 8      # gt, mask, 6 spare — flat-packed fp32 lanes
+MPI_CH = 64     # MAX_PLANES(12) * 5 channels = 60 used
+
+
+def _gather_kernel(nlev: int, win: int,
+                   scene_r, lev_r, wy_r, wx_r, *refs):
+    """Grid=(B,): issue the selected level's window DMAs for sample b."""
+    img_refs = refs[:nlev]
+    aux_refs = refs[nlev:2 * nlev]
+    mpi_refs = refs[2 * nlev:3 * nlev]
+    out_img, out_aux, out_mpi, sem = refs[3 * nlev:]
+
+    b = pl.program_id(0)
+    s = scene_r[b]
+    # the host sampler guarantees these alignments (TrainPipeline._positions);
+    # Mosaic needs the compile-time proof to slice tiled HBM memrefs
+    wy = pl.multiple_of(wy_r[b], SNAP_Y)
+    wx = pl.multiple_of(wx_r[b], SNAP_X)
+
+    for fi in range(nlev):
+        @pl.when(lev_r[b] == fi)
+        def _(fi=fi):
+            d_img = pltpu.make_async_copy(
+                img_refs[fi].at[s, pl.ds(wy, win), pl.ds(wx, win), :],
+                out_img.at[b], sem.at[0])
+            d_aux = pltpu.make_async_copy(
+                aux_refs[fi].at[s, pl.ds(wy, win),
+                                pl.ds(pl.multiple_of(wx * AUX_CH, 128),
+                                      win * AUX_CH)],
+                out_aux.at[b], sem.at[1])
+            d_mpi = pltpu.make_async_copy(
+                mpi_refs[fi].at[s, pl.ds(wy, win),
+                                pl.ds(pl.multiple_of(wx * MPI_CH, 128),
+                                      win * MPI_CH)],
+                out_mpi.at[b], sem.at[2])
+            d_img.start()
+            d_aux.start()
+            d_mpi.start()
+            d_img.wait()
+            d_aux.wait()
+            d_mpi.wait()
+
+
+def pallas_window_gather(img_levels, aux_levels, mpi_levels,
+                         scene, level, ws_y, ws_x, win: int,
+                         interpret: bool = False):
+    """DMA-gather per-sample windows from the packed pyramid.
+
+    :param img_levels: tuple of ``(S, Hf, Wf, CI)`` arrays, one per level
+    :param aux_levels: tuple of ``(S, Hf, Wf*AUX_CH)`` fp32 arrays
+    :param mpi_levels: tuple of ``(S, Hf, Wf*MPI_CH)`` fp32 arrays
+    :param scene: ``(B,)`` int32 scene indices
+    :param level: ``(B,)`` int32 pyramid level (0-based; factor - 1)
+    :param ws_y: ``(B,)`` int32 window row starts (level coords, 8-aligned)
+    :param ws_x: ``(B,)`` int32 window col starts (level coords, 16-aligned)
+    :returns: ``(img, aux, mpi)`` windows:
+        ``(B, win, win, CI)``, ``(B, win, win*AUX_CH)``,
+        ``(B, win, win*MPI_CH)``
+    """
+    nlev = len(img_levels)
+    b = scene.shape[0]
+    ci = img_levels[0].shape[-1]
+    img_dtype = img_levels[0].dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 * nlev),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 3,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((3,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, nlev, win),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, win, win, ci), img_dtype),
+            jax.ShapeDtypeStruct((b, win, win * AUX_CH), jnp.float32),
+            jax.ShapeDtypeStruct((b, win, win * MPI_CH), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scene.astype(jnp.int32), level.astype(jnp.int32),
+      ws_y.astype(jnp.int32), ws_x.astype(jnp.int32),
+      *img_levels, *aux_levels, *mpi_levels)
+
+
+def xla_window_gather(img_levels, aux_levels, mpi_levels,
+                      scene, level, ws_y, ws_x, win: int):
+    """Pure-XLA fallback with identical semantics (CPU tests, sharded jit).
+
+    ``vmap(switch)`` executes every level branch and selects — 4x the DMA
+    traffic of the Pallas path, but correct everywhere and partitionable
+    by XLA's SPMD machinery.
+    """
+    nlev = len(img_levels)
+
+    def one(s, l, wy, wx):
+        def branch(fi):
+            def g(_):
+                img = jax.lax.dynamic_slice(
+                    img_levels[fi], (s, wy, wx, 0),
+                    (1, win, win, img_levels[fi].shape[-1]))[0]
+                aux = jax.lax.dynamic_slice(
+                    aux_levels[fi], (s, wy, wx * AUX_CH),
+                    (1, win, win * AUX_CH))[0]
+                mpi = jax.lax.dynamic_slice(
+                    mpi_levels[fi], (s, wy, wx * MPI_CH),
+                    (1, win, win * MPI_CH))[0]
+                return img, aux, mpi
+            return g
+        return jax.lax.switch(l, [branch(fi) for fi in range(nlev)], None)
+
+    return jax.vmap(one)(scene.astype(jnp.int32), level.astype(jnp.int32),
+                         ws_y.astype(jnp.int32), ws_x.astype(jnp.int32))
+
+
+def window_gather(img_levels, aux_levels, mpi_levels,
+                  scene, level, ws_y, ws_x, win: int):
+    """Dispatch: Pallas DMA on a single TPU chip, XLA fallback elsewhere.
+
+    (On a multi-device mesh the XLA path is used so the SPMD partitioner
+    can shard the batch axis; the Pallas kernel has no partitioning rule.)
+    """
+    if jax.default_backend() == 'tpu' and jax.device_count() == 1:
+        return pallas_window_gather(img_levels, aux_levels, mpi_levels,
+                                    scene, level, ws_y, ws_x, win)
+    return xla_window_gather(img_levels, aux_levels, mpi_levels,
+                             scene, level, ws_y, ws_x, win)

@@ -33,10 +33,11 @@ def test_host_pipeline_shapes(dataset):
     pipe = TrainPipeline(dataset, cfg, seed=0)
     batch = pipe.sample_batch(3)
     win = window_size(32)
+    max_off = win - 32 - 8 - 5
     assert batch.h.shape == (3, 9, win, win, 3)
     assert batch.mpi.shape == (3, 12, win, win, 5)
     assert batch.gt.shape == (3, win, win)
-    assert batch.aug.y_off.min() >= 0 and batch.aug.y_off.max() <= 8
+    assert batch.aug.y_off.min() >= 0 and batch.aug.y_off.max() <= max_off
 
 
 def test_device_gather_matches_numpy(dataset):
@@ -47,8 +48,8 @@ def test_device_gather_matches_numpy(dataset):
     db = DeviceBatch(
         scene=np.array([0, 1], np.int32),
         factor=np.array([1, 2], np.int32),
-        ws_y=np.array([3, 1], np.int32),
-        ws_x=np.array([5, 2], np.int32),
+        ws_y=np.array([8, 0], np.int32),
+        ws_x=np.array([16, 0], np.int32),
         aug=AugParams(
             shift=np.zeros(b, np.float32),
             y_off=np.zeros(b, np.int32), x_off=np.zeros(b, np.int32),
@@ -69,6 +70,12 @@ def test_device_gather_matches_numpy(dataset):
             np.asarray(out.h)[s], scene['h'][:, rows][:, :, cols],
             atol=1e-6)
         np.testing.assert_allclose(
+            np.asarray(out.v)[s], scene['v'][:, rows][:, :, cols],
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.d)[s], scene['d'][:, rows][:, :, cols],
+            atol=1e-6)
+        np.testing.assert_allclose(
             np.asarray(out.gt)[s],
             scene['gt'][rows][:, cols] / f, atol=1e-6)
         np.testing.assert_allclose(
@@ -76,6 +83,24 @@ def test_device_gather_matches_numpy(dataset):
             scene['mpi'][:, rows][:, :, cols][..., 4] / f, atol=1e-6)
         np.testing.assert_array_equal(
             np.asarray(out.mask)[s], scene['mask'][rows][:, cols])
+
+
+def test_sampled_positions_respect_alignment(dataset):
+    """DevicePipeline window starts obey the DMA tile contract (rows 8-,
+    cols 16-aligned) and offsets keep the crop + wrap guard in-window."""
+    cfg = _cfg(train_max_downscale=2)
+    pipe = DevicePipeline(dataset, cfg, seed=7)
+    db = pipe.sample_batch(64)
+    assert (np.asarray(db.ws_y) % 8 == 0).all()
+    assert (np.asarray(db.ws_x) % 16 == 0).all()
+    max_off = pipe.win - cfg.train_ps - 8 - 5
+    for off in (db.aug.y_off, db.aug.x_off):
+        assert off.min() >= 0 and off.max() <= max_off
+    # windows stay inside each level
+    for s, f, wy, wx in zip(db.scene, db.factor, db.ws_y, db.ws_x):
+        hf = (pipe.scene_shape[0] + f - 1) // f
+        assert 0 <= wy <= hf - pipe.win
+        assert 0 <= wx <= hf - pipe.win
 
 
 def test_device_gather_feeds_augment(dataset):
