@@ -430,6 +430,30 @@ def gather_windows(cache: PackedCache, batch: DeviceBatch,
                  gt=gt, mpi=mpi, mask=mask, aug=batch.aug)
 
 
+def gather_augment(cache: PackedCache, batch: DeviceBatch, ps: int,
+                   win: int, with_mpi: bool = True):
+    """Fused TPU input path: Pallas DMA window gather + matmul-domain
+    augmentation, straight from the packed pyramid to model-ready stacks.
+
+    Equivalent to ``augment_batch(gather_windows(...))`` (asserted in
+    tests/test_augment2.py) but never materializes windows in the
+    gather-hostile per-view stack layout; see data/augment2.py.
+
+    :returns: ``(h, v, i, d, gt, mpi, mask)`` with stacks
+        ``(B, n, ps, ps, 3)`` fp32.
+    """
+    from ..ops.pallas.window_gather import window_gather
+    from .augment2 import augment_packed, augment_targets
+
+    img, aux, mpi = window_gather(
+        cache.img, cache.aux, cache.mpi, batch.scene, batch.factor - 1,
+        batch.ws_y, batch.ws_x, win, with_mpi=with_mpi)
+    h, v, i, d = augment_packed(img, batch.aug, ps, cache.views)
+    gt, mpi, mask = augment_targets(aux, mpi, batch.aug, ps, MAX_PLANES,
+                                    with_mpi)
+    return h, v, i, d, gt, mpi, mask
+
+
 class DevicePipeline(TrainPipeline):
     """TrainPipeline variant emitting index-only batches for a device cache.
 

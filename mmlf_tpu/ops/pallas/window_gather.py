@@ -48,13 +48,16 @@ AUX_CH = 8      # gt, mask, 6 spare — flat-packed fp32 lanes
 MPI_CH = 64     # MAX_PLANES(12) * 5 channels = 60 used
 
 
-def _gather_kernel(nlev: int, win: int,
+def _gather_kernel(nlev: int, win: int, with_mpi: bool,
                    scene_r, lev_r, wy_r, wx_r, *refs):
     """Grid=(B,): issue the selected level's window DMAs for sample b."""
+    nf = 3 if with_mpi else 2
     img_refs = refs[:nlev]
     aux_refs = refs[nlev:2 * nlev]
-    mpi_refs = refs[2 * nlev:3 * nlev]
-    out_img, out_aux, out_mpi, sem = refs[3 * nlev:]
+    mpi_refs = refs[2 * nlev:3 * nlev] if with_mpi else None
+    out_img, out_aux = refs[nf * nlev:nf * nlev + 2]
+    out_mpi = refs[nf * nlev + 2] if with_mpi else None
+    sem = refs[-1]
 
     b = pl.program_id(0)
     s = scene_r[b]
@@ -74,21 +77,23 @@ def _gather_kernel(nlev: int, win: int,
                                 pl.ds(pl.multiple_of(wx * AUX_CH, 128),
                                       win * AUX_CH)],
                 out_aux.at[b], sem.at[1])
-            d_mpi = pltpu.make_async_copy(
-                mpi_refs[fi].at[s, pl.ds(wy, win),
-                                pl.ds(pl.multiple_of(wx * MPI_CH, 128),
-                                      win * MPI_CH)],
-                out_mpi.at[b], sem.at[2])
             d_img.start()
             d_aux.start()
-            d_mpi.start()
+            if with_mpi:
+                d_mpi = pltpu.make_async_copy(
+                    mpi_refs[fi].at[s, pl.ds(wy, win),
+                                    pl.ds(pl.multiple_of(wx * MPI_CH, 128),
+                                          win * MPI_CH)],
+                    out_mpi.at[b], sem.at[2])
+                d_mpi.start()
+                d_mpi.wait()
             d_img.wait()
             d_aux.wait()
-            d_mpi.wait()
 
 
 def pallas_window_gather(img_levels, aux_levels, mpi_levels,
                          scene, level, ws_y, ws_x, win: int,
+                         with_mpi: bool = True,
                          interpret: bool = False):
     """DMA-gather per-sample windows from the packed pyramid.
 
@@ -107,30 +112,41 @@ def pallas_window_gather(img_levels, aux_levels, mpi_levels,
     b = scene.shape[0]
     ci = img_levels[0].shape[-1]
     img_dtype = img_levels[0].dtype
+    nf = 3 if with_mpi else 2
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, win, win, ci), img_dtype),
+        jax.ShapeDtypeStruct((b, win, win * AUX_CH), jnp.float32),
+    ]
+    if with_mpi:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, win, win * MPI_CH), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 * nlev),
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nf * nlev),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * len(out_shape),
         scratch_shapes=[pltpu.SemaphoreType.DMA((3,))],
     )
-    return pl.pallas_call(
-        functools.partial(_gather_kernel, nlev, win),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, win, win, ci), img_dtype),
-            jax.ShapeDtypeStruct((b, win, win * AUX_CH), jnp.float32),
-            jax.ShapeDtypeStruct((b, win, win * MPI_CH), jnp.float32),
-        ),
+    operands = [*img_levels, *aux_levels]
+    if with_mpi:
+        operands += list(mpi_levels)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, nlev, win, with_mpi),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         interpret=interpret,
     )(scene.astype(jnp.int32), level.astype(jnp.int32),
-      ws_y.astype(jnp.int32), ws_x.astype(jnp.int32),
-      *img_levels, *aux_levels, *mpi_levels)
+      ws_y.astype(jnp.int32), ws_x.astype(jnp.int32), *operands)
+    if with_mpi:
+        return out
+    return out[0], out[1], None
 
 
 def xla_window_gather(img_levels, aux_levels, mpi_levels,
-                      scene, level, ws_y, ws_x, win: int):
+                      scene, level, ws_y, ws_x, win: int,
+                      with_mpi: bool = True):
     """Pure-XLA fallback with identical semantics (CPU tests, sharded jit).
 
     ``vmap(switch)`` executes every level branch and selects — 4x the DMA
@@ -148,6 +164,8 @@ def xla_window_gather(img_levels, aux_levels, mpi_levels,
                 aux = jax.lax.dynamic_slice(
                     aux_levels[fi], (s, wy, wx * AUX_CH),
                     (1, win, win * AUX_CH))[0]
+                if not with_mpi:
+                    return img, aux
                 mpi = jax.lax.dynamic_slice(
                     mpi_levels[fi], (s, wy, wx * MPI_CH),
                     (1, win, win * MPI_CH))[0]
@@ -155,19 +173,27 @@ def xla_window_gather(img_levels, aux_levels, mpi_levels,
             return g
         return jax.lax.switch(l, [branch(fi) for fi in range(nlev)], None)
 
-    return jax.vmap(one)(scene.astype(jnp.int32), level.astype(jnp.int32),
-                         ws_y.astype(jnp.int32), ws_x.astype(jnp.int32))
+    out = jax.vmap(one)(scene.astype(jnp.int32), level.astype(jnp.int32),
+                        ws_y.astype(jnp.int32), ws_x.astype(jnp.int32))
+    if with_mpi:
+        return out
+    return out[0], out[1], None
 
 
 def window_gather(img_levels, aux_levels, mpi_levels,
-                  scene, level, ws_y, ws_x, win: int):
+                  scene, level, ws_y, ws_x, win: int,
+                  with_mpi: bool = True):
     """Dispatch: Pallas DMA on a single TPU chip, XLA fallback elsewhere.
 
     (On a multi-device mesh the XLA path is used so the SPMD partitioner
     can shard the batch axis; the Pallas kernel has no partitioning rule.)
+    ``with_mpi=False`` skips the MPI field entirely — losses that never
+    read it (the flagship UPR recipe) save its DMA + rotation cost.
     """
     if jax.default_backend() == 'tpu' and jax.device_count() == 1:
         return pallas_window_gather(img_levels, aux_levels, mpi_levels,
-                                    scene, level, ws_y, ws_x, win)
+                                    scene, level, ws_y, ws_x, win,
+                                    with_mpi=with_mpi)
     return xla_window_gather(img_levels, aux_levels, mpi_levels,
-                             scene, level, ws_y, ws_x, win)
+                             scene, level, ws_y, ws_x, win,
+                             with_mpi=with_mpi)

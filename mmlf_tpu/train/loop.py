@@ -34,8 +34,8 @@ from flax import struct
 
 from ..config import Config
 from ..data.hci4d import HCI4D
-from ..data.pipeline import (DevicePipeline, TrainPipeline,
-                             augment_batch, gather_windows, window_size)
+from ..data.pipeline import (DevicePipeline, TrainPipeline, augment_batch,
+                             gather_augment, window_size)
 from ..losses import (improved_multi_uncertainty_l1, improved_uncertainty_l1,
                       masked_badpix, masked_cross_entropy, masked_l1,
                       masked_mse, multi_masked_l1)
@@ -132,10 +132,16 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
     remote-compile service may reject outright).
     """
 
+    # MPI windows are only materialized when a loss actually reads them
+    with_mpi = bool(cfg.train_loss_multimodal or cfg.train_loss_strongest)
+
     def step_fn(state: TrainState, batch, cache=None):
         if use_cache:
-            batch = gather_windows(cache, batch, window_size(cfg.train_ps))
-        h, v, i, d, gt, mpi, mask = augment_batch(batch, cfg.train_ps)
+            h, v, i, d, gt, mpi, mask = gather_augment(
+                cache, batch, cfg.train_ps, window_size(cfg.train_ps),
+                with_mpi=with_mpi)
+        else:
+            h, v, i, d, gt, mpi, mask = augment_batch(batch, cfg.train_ps)
         gt, mpi, gt_classes, mask, mask_padding = prepare_targets(
             cfg, gt, mpi, mask)
 
