@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.batchnorm import FusedBatchNorm
 from ..ops.codecs import bin_centers, class_to_reg
 from .unet import UNet
 
@@ -117,9 +118,9 @@ class ConvBlock(nn.Module):
                          name='conv2')(x, self.orientation)
         if self.out_bn_relu:
             if self.use_bn:
-                x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=1.0 - self.bn_momentum,
-                                 dtype=jnp.float32, name='bn')(x)
+                x = FusedBatchNorm(momentum=1.0 - self.bn_momentum,
+                                   name='bn')(x, use_running_average=not
+                                              train)
             x = nn.relu(x)
         return x
 
