@@ -96,6 +96,7 @@ class TrainPipeline:
         self.augment = not cfg.train_no_data_augment
         self.max_f = cfg.train_max_downscale if self.augment else 1
         self.rng = np.random.default_rng(seed)
+        self._pool = None            # lazy window-cutter thread pool
 
         if not dataset.cache:
             dataset.cache_scenes()
@@ -165,8 +166,12 @@ class TrainPipeline:
 
     def _window(self, scene: dict, f: int):
         """Extract one stride-f window; returns field dict + crop offsets."""
-        win = self.win
         ws_y, ws_x, y_off, x_off = self._positions(scene['gt'].shape, f)
+        return self._cut_window(scene, f, ws_y, ws_x), y_off, x_off
+
+    def _cut_window(self, scene: dict, f: int, ws_y: int, ws_x: int):
+        """Copy one stride-f window at a given start (RNG-free, thread-safe)."""
+        win = self.win
         gt = scene['gt'][::f, ::f]
 
         def cut(arr, spatial_from):
@@ -194,15 +199,38 @@ class TrainPipeline:
         mpi = mpi.copy()
         mpi[..., 4] /= np.float32(f)
         out['mpi'] = mpi
-        return out, y_off, x_off
+        return out
 
     def sample_batch(self, batch_size: int) -> Batch:
         fields = {k: [] for k in ('h', 'v', 'i', 'd', 'gt', 'mpi', 'mask')}
         y_offs, x_offs = [], []
+
+        # draw ALL randomness sequentially first (determinism), then cut
+        # windows in a thread pool — the C++ strided_window releases the
+        # GIL exactly for this (native/mmlf_native.cpp); the reference gets
+        # the same overlap from DataLoader workers (train/cli.py:97-100)
+        draws = []
         for _ in range(batch_size):
             idx = int(self.rng.integers(0, len(self.scenes)))
             f = int(self.rng.integers(1, self.max_f + 1))
-            w, y_off, x_off = self._window(self.scenes[idx], f)
+            ws_y, ws_x, y_off, x_off = self._positions(
+                self.scenes[idx]['gt'].shape, f)
+            draws.append((idx, f, ws_y, ws_x, y_off, x_off))
+
+        def cut(draw):
+            idx, f, ws_y, ws_x, y_off, x_off = draw
+            w = self._cut_window(self.scenes[idx], f, ws_y, ws_x)
+            return w, y_off, x_off
+
+        if batch_size > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=8)
+            results = list(self._pool.map(cut, draws))
+        else:
+            results = [cut(d) for d in draws]
+
+        for w, y_off, x_off in results:
             for k, arr in w.items():
                 fields[k].append(arr)
             y_offs.append(y_off)

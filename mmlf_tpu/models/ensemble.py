@@ -99,6 +99,93 @@ def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
     }
 
 
+def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
+                             i_views, d_views, disp_min: float,
+                             disp_max: float, disp_step: float,
+                             mesh, axis: str = 'data'):
+    """Shift-ensemble with the MEMBER axis sharded across the device mesh.
+
+    ESE validation is the dominant inference cost (70 forwards per scene,
+    reference mmlf/model/ensamble.py:61-76); the serial scan uses one chip.
+    Here each of the ``n`` devices scans ``ceil(70/n)`` members locally
+    (inputs and weights replicated — no halo traffic at all), then the
+    min-logvar selection is a lexicographic all-gather+select and the
+    mixture posterior a ``psum``, both over ICI.  Outputs are replicated
+    and bit-match the serial scan (tests/test_parallel.py).
+
+    The grid is zero-padded to a multiple of ``n`` with dummy members that
+    carry ``logvar=+inf`` and posterior weight 0, so they can never win
+    the selection nor bias the mixture.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shifts = ensemble_grid(disp_min, disp_max, disp_step)
+    k = shifts.shape[0]
+    n = mesh.shape[axis]
+    kp = -(-k // n) * n
+    shifts_p = np.zeros(kp, np.float32)
+    shifts_p[:k] = shifts
+    valid_p = np.zeros(kp, np.float32)
+    valid_p[:k] = 1.0
+    bins = bin_centers(disp_min, disp_max, k)
+
+    b, _, hh, ww, _ = h_views.shape
+
+    def local(shifts_l, valid_l, h, v, i, d, variables):
+        init = (
+            jnp.full((b, hh, ww), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((b, hh, ww), dtype=jnp.float32),
+            jnp.zeros((b, hh, ww, k), dtype=jnp.float32),
+        )
+
+        def member(carry, sv):
+            shift_disp, w = sv
+            best_lv, best_mean, post = carry
+            hs, vs, is_, ds = shift_lf(h, v, i, d, shift_disp)
+            out = apply_fn(variables, hs, vs, is_, ds)
+            mean = out['mean'] + shift_disp
+            logvar = jnp.where(w > 0, out['logvar'], jnp.inf)
+
+            take = logvar < best_lv
+            best_lv = jnp.where(take, logvar, best_lv)
+            best_mean = jnp.where(take, mean, best_mean)
+            post = post + w * laplacian(bins, mean,
+                                        jnp.exp(out['logvar']))
+            return (best_lv, best_mean, post), (mean, logvar)
+
+        (best_lv, best_mean, post), (means_l, logvars_l) = jax.lax.scan(
+            member, init, (shifts_l, valid_l))
+
+        post = jax.lax.psum(post, axis) / float(k)
+        all_lv = jax.lax.all_gather(best_lv, axis)          # (n, b, H, W)
+        all_mean = jax.lax.all_gather(best_mean, axis)
+        idx = jnp.argmin(all_lv, axis=0)[None]
+        best_lv = jnp.take_along_axis(all_lv, idx, axis=0)[0]
+        best_mean = jnp.take_along_axis(all_mean, idx, axis=0)[0]
+        means = jax.lax.all_gather(means_l, axis).reshape(
+            kp, b, hh, ww)[:k]
+        logvars = jax.lax.all_gather(logvars_l, axis).reshape(
+            kp, b, hh, ww)[:k]
+        return best_mean, best_lv, means, logvars, post
+
+    spec_m = P(axis)
+    rep = P()
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_m, spec_m, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep), check_vma=False)
+    best_mean, best_lv, means, logvars, posterior = shard(
+        jnp.asarray(shifts_p), jnp.asarray(valid_p),
+        h_views, v_views, i_views, d_views, variables)
+    return {
+        'mean': best_mean,
+        'logvar': best_lv,
+        'means': means,
+        'logvars': logvars,
+        'posterior': posterior,
+    }
+
+
 class Ensemble:
     """Object wrapper mirroring the reference's ``Ensamble(model, ...)`` API.
 

@@ -36,10 +36,14 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def save_checkpoint(out_dir: str, state_tree: dict,
-                    hyper_parameters: dict, epoch: Optional[int],
-                    iteration: int, loss: Optional[float],
-                    **extras: Any) -> None:
+def _build_payload(state_tree: dict, epoch: Optional[int], iteration: int,
+                   loss: Optional[float], **extras: Any) -> dict:
+    """Host snapshot of the checkpoint payload (the blocking D2H part).
+
+    ``epoch``: the reference stores None at train time (it passes
+    ``epoch=None``, reference train/cli.py:328); we store the real pass
+    counter when the caller provides it, -1 for None.
+    """
     payload = dict(state_tree)
     payload['__meta__'] = {
         'epoch': -1 if epoch is None else int(epoch),
@@ -47,8 +51,12 @@ def save_checkpoint(out_dir: str, state_tree: dict,
         'loss': float('nan') if loss is None else float(loss),
     }
     payload.update({k: _to_host(v) for k, v in extras.items()})
+    return _to_host(payload)
 
-    data = serialization.to_bytes(_to_host(payload))
+
+def _write_checkpoint(out_dir: str, payload: dict,
+                      hyper_parameters: dict) -> None:
+    data = serialization.to_bytes(payload)
     tmp = os.path.join(out_dir, CKPT_FILE + '.tmp')
     with open(tmp, 'wb') as f:
         f.write(data)
@@ -56,6 +64,16 @@ def save_checkpoint(out_dir: str, state_tree: dict,
 
     with open(os.path.join(out_dir, HYPER_FILE), 'w') as f:
         json.dump(hyper_parameters, f, indent=2, default=str)
+
+
+def save_checkpoint(out_dir: str, state_tree: dict,
+                    hyper_parameters: dict, epoch: Optional[int],
+                    iteration: int, loss: Optional[float],
+                    **extras: Any) -> None:
+    _write_checkpoint(out_dir,
+                      _build_payload(state_tree, epoch, iteration, loss,
+                                     **extras),
+                      hyper_parameters)
 
 
 def load_checkpoint(out_dir: str, state_template: dict):
@@ -94,11 +112,39 @@ def has_checkpoint(out_dir: str) -> bool:
 
 
 class ModelSaver:
-    """Rolling saver with optional best-only mode (reference dl.py:7-74)."""
+    """Rolling saver with optional best-only mode (reference dl.py:7-74).
 
-    def __init__(self, only_best: bool = False):
+    With ``async_write=True`` (default) the serialization + disk write run
+    on a background thread so the train step loop only blocks for the
+    device→host snapshot; a newer pending save supersedes an unwritten
+    older one (the checkpoint is rolling anyway).  ``close()`` drains the
+    queue; the atomic tmp+rename write keeps readers safe either way.
+    """
+
+    def __init__(self, only_best: bool = False, async_write: bool = True):
         self.only_best = only_best
         self.best_loss = None
+        self.async_write = async_write
+        self._pending = None
+        self._lock = None
+        self._thread = None
+        if async_write:
+            import threading
+            self._lock = threading.Condition()
+            self._thread = threading.Thread(target=self._worker,
+                                            daemon=True)
+            self._closed = False
+            self._thread.start()
+
+    def _worker(self):
+        while True:
+            with self._lock:
+                while self._pending is None and not self._closed:
+                    self._lock.wait()
+                if self._pending is None and self._closed:
+                    return
+                job, self._pending = self._pending, None
+            _write_checkpoint(*job)
 
     def __call__(self, out_dir: str, state_tree: dict,
                  hyper_parameters: dict, epoch: Optional[int],
@@ -107,6 +153,22 @@ class ModelSaver:
             if self.best_loss is not None and self.best_loss < loss:
                 return False
             self.best_loss = loss
-        save_checkpoint(out_dir, state_tree, hyper_parameters, epoch,
-                        iteration, loss, **extras)
+        # snapshot on the caller thread: donated device buffers are reused
+        # by the next dispatched step, so the D2H copy cannot be deferred
+        payload = _build_payload(state_tree, epoch, iteration, loss,
+                                 **extras)
+        if self.async_write:
+            with self._lock:
+                self._pending = (out_dir, payload, hyper_parameters)
+                self._lock.notify()
+        else:
+            _write_checkpoint(out_dir, payload, hyper_parameters)
         return True
+
+    def close(self):
+        """Drain the writer (call at the end of training)."""
+        if self.async_write:
+            with self._lock:
+                self._closed = True
+                self._lock.notify()
+            self._thread.join()

@@ -359,7 +359,10 @@ def train(cfg: Config, output_dir: str,
             tree = {'params': state.params,
                     'batch_stats': state.batch_stats,
                     'opt_state': state.opt_state}
-            model_saver(output_dir, tree, cfg.to_dict(), None, i,
+            # real pass counter over the virtual-length dataset (the
+            # reference stores epoch=None here, train/cli.py:328)
+            epoch = i // max(1, len(trainset) // cfg.train_bs)
+            model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
                         loss_val_avg)
 
         line = (f'{i:>7}, {float(loss_train):.8f}, {loss_val_avg:.8f}, '
@@ -373,5 +376,6 @@ def train(cfg: Config, output_dir: str,
         if cfg.train_steps and i >= cfg.train_steps:
             break
 
+    model_saver.close()   # drain the async checkpoint writer
     log.close()
     return state

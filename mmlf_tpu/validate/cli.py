@@ -85,35 +85,61 @@ def n_params(variables) -> int:
               help='Disparity increment for ensamble')
 @click.option('--train_shift', default=0.0, type=float,
               help='Static shift to apply to off-center training datasets')
+@click.option('--val_tile', default=0, type=int,
+              help='TPU extension: tiled inference with this interior tile '
+                   'size (0 = whole-scene forward). Exact for non-ensemble '
+                   'heads; bounds HBM for arbitrarily large scenes.')
+@click.option('--mesh_space', default=1, type=int,
+              help='TPU extension: shard each scene spatially over this '
+                   'many devices (XLA SPMD halo exchange).')
 def main(output_dir, dataset, model_invertible, model_discrete,
          val_loss_margin, val_ensamble, val_disp_step, val_disp_min,
-         val_disp_max, train_shift):
+         val_disp_max, train_shift, val_tile, mesh_space):
     run_validation(output_dir, dataset, model_discrete=model_discrete,
                    val_loss_margin=val_loss_margin,
                    val_ensamble=val_ensamble, val_disp_step=val_disp_step,
                    val_disp_min=val_disp_min, val_disp_max=val_disp_max,
-                   train_shift=train_shift)
+                   train_shift=train_shift, val_tile=val_tile,
+                   mesh_space=mesh_space)
 
 
 def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
                     val_disp_min: float, val_disp_max: float,
                     val_disp_step: float, val_loss_margin: int,
-                    n_bins: int = 108):
+                    n_bins: int = 108, val_tile: int = 0):
     """One jitted program per scene shape: forward + every metric.
 
     Dozens of eager ops per scene would each pay a dispatch/compile round
     trip; fusing the whole evaluation into a single XLA program makes the
     per-scene cost one (cached) compile + one execution.
+
+    ``val_tile > 0`` replaces the whole-scene forward with the device-side
+    tiled forward (validate/tiling.py): exact for BASE/UPR/DPP (halo >=
+    receptive field); for the ensemble the sub-pixel shift's circular wrap
+    lands in the tile halo instead of the image border (same class of
+    boundary deviation the margin mask already excludes).
     """
 
-    def scene_eval(variables, h, v, i, d, gt, mpi):
+    def net_forward(variables, h, v, i, d):
         if val_ensamble:
-            output = ensemble_forward(
+            return ensemble_forward(
                 lambda vv, *a: model.apply(vv, *a), variables, h, v, i, d,
                 disp_min=val_disp_min, disp_max=val_disp_max,
                 disp_step=val_disp_step)
+        return model.apply(variables, h, v, i, d)
+
+    def scene_eval(variables, h, v, i, d, gt, mpi):
+        if val_tile > 0:
+            from .tiling import receptive_radius, tiled_forward_device
+            halo = receptive_radius(model.ksize, model.in_blocks,
+                                    model.out_blocks)
+            if val_ensamble:   # ensemble shift reaches ceil(disp)+1 further
+                halo += int(np.ceil(max(abs(val_disp_min),
+                                        abs(val_disp_max)))) + 1
+            output = tiled_forward_device(net_forward, variables,
+                                          (h, v, i, d), val_tile, halo)
         else:
-            output = model.apply(variables, h, v, i, d)
+            output = net_forward(variables, h, v, i, d)
 
         mask = create_mask_margin(gt.shape, val_loss_margin)
         mse = masked_mse(output, gt, mask)
@@ -165,7 +191,7 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
 def run_validation(output_dir, dataset, model_discrete=False,
                    val_loss_margin=15, val_ensamble=False,
                    val_disp_step=0.1, val_disp_min=-3.5, val_disp_max=3.5,
-                   train_shift=0.0):
+                   train_shift=0.0, val_tile=0, mesh_space=1):
     """Programmatic entry (the CLI body), returns the metric averages."""
     variables, kwargs = load_model_state(output_dir)
     # stored config + whitelisted CLI overrides (reference :214-217)
@@ -193,7 +219,19 @@ def run_validation(output_dir, dataset, model_discrete=False,
     n_bins = 108
     scene_eval = make_scene_eval(model, cfg, kwargs, val_ensamble,
                                  val_disp_min, val_disp_max, val_disp_step,
-                                 val_loss_margin, n_bins)
+                                 val_loss_margin, n_bins,
+                                 val_tile=val_tile)
+
+    # optional spatial sharding: scenes split over a 'space' mesh axis,
+    # XLA SPMD inserts the conv halo exchanges (parallel/mesh.py)
+    assert not (val_tile > 0 and mesh_space > 1), \
+        '--val_tile and --mesh_space are mutually exclusive'
+    mesh = None
+    if mesh_space > 1:
+        from ..parallel.mesh import (make_mesh, replicated,
+                                     spatial_sharding)
+        mesh = make_mesh(n_data=1, n_space=mesh_space)
+        variables = jax.device_put(variables, replicated(mesh))
     mse_avg = bad_pix_avg = 0.0
     kld_avg = kld_mm_avg = kld_um_avg = nll_eval_avg = 0.0
     runtime = 0.0
@@ -208,6 +246,11 @@ def run_validation(output_dir, dataset, model_discrete=False,
         stacks = [jnp.asarray(x[None]) for x in (h, v, ii, d)]
         gt_j = jnp.asarray(gt[None])
         mpi_j = jnp.asarray(pad_mpi(mpi)[None])
+        if mesh is not None:
+            sh = spatial_sharding(mesh, h_axis=2)
+            stacks = [jax.device_put(s, sh) for s in stacks]
+            gt_j = jax.device_put(gt_j, spatial_sharding(mesh, h_axis=1))
+            mpi_j = jax.device_put(mpi_j, spatial_sharding(mesh, h_axis=2))
 
         output, metrics = scene_eval(variables, *stacks, gt_j, mpi_j)
         metrics = jax.tree_util.tree_map(float, metrics)

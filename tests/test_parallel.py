@@ -101,6 +101,38 @@ def test_sharded_step_matches_single_device(data_dirs):
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_sharded_ensemble_matches_serial(data_dirs):
+    """70-member ESE with members sharded over the 8-device mesh must equal
+    the serial single-device scan (min-logvar select + mixture posterior)."""
+    from mmlf_tpu.models.ensemble import (ensemble_forward,
+                                          ensemble_forward_sharded)
+
+    cfg = Config(model_chs=6, model_in_blocks=1, model_out_blocks=2,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(1)
+    stacks = [jnp.asarray(rng.random((1, 9, 32, 32, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    apply_fn = lambda v, *s: model.apply(v, *s)
+
+    want = jax.jit(lambda v, *s: ensemble_forward(
+        apply_fn, v, *s, cfg.val_disp_min, cfg.val_disp_max,
+        cfg.val_disp_step, posterior_impl='scan'))(variables, *stacks)
+
+    mesh = make_mesh(8)
+    got = jax.jit(lambda v, *s: ensemble_forward_sharded(
+        apply_fn, v, *s, cfg.val_disp_min, cfg.val_disp_max,
+        cfg.val_disp_step, mesh=mesh))(variables, *stacks)
+
+    for key in ('mean', 'logvar', 'means', 'logvars', 'posterior'):
+        a, g = np.asarray(want[key]), np.asarray(got[key])
+        if key == 'logvars':   # padded dummies carry +inf, slice real ones
+            g = g[:a.shape[0]]
+        np.testing.assert_allclose(g, a, atol=1e-5, rtol=1e-5,
+                                   err_msg=f'{key} diverges')
+
+
 def test_spatially_sharded_inference_matches(data_dirs):
     """Full-scene forward with H sharded over the 'space' axis: XLA's SPMD
     partitioner handles conv halo exchange; output must match unsharded."""
@@ -123,3 +155,30 @@ def test_spatially_sharded_inference_matches(data_dirs):
     got = np.asarray(fwd(v_rep, *sharded))
 
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+def test_validate_cli_mesh_space(data_dirs, tmp_path):
+    """--mesh_space through the full validate CLI (scene spatially sharded
+    over 8 devices) matches the single-device metrics."""
+    import optax
+    from mmlf_tpu.train.checkpoint import save_checkpoint
+    from mmlf_tpu.train.loop import init_state
+    from mmlf_tpu.validate.cli import run_validation
+
+    train_dir, _ = data_dirs
+    out = str(tmp_path / 'out')
+    os.makedirs(out)
+    cfg = Config(model_chs=6, model_in_blocks=1, model_out_blocks=2,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    tx = optax.scale_by_adam()
+    state = init_state(cfg, model, tx, [jnp.zeros((1, 9, 32, 32, 3))] * 4)
+    save_checkpoint(out, {'params': state.params,
+                          'batch_stats': state.batch_stats},
+                    cfg.to_dict(), None, 0, None)
+
+    single = run_validation(out, train_dir, val_loss_margin=5)
+    sharded = run_validation(out, train_dir, val_loss_margin=5,
+                             mesh_space=8)
+    # kld tolerance: sharded reductions reassociate the fp32 sums
+    for k, tol in (('mse', 1e-4), ('badpix', 1e-4), ('kld', 2e-3)):
+        assert abs(single[k] - sharded[k]) < tol, (k, single[k], sharded[k])

@@ -50,3 +50,69 @@ def test_tiled_handles_non_divisible_sizes():
     assert tiled['mean'].shape == (1, 72, 88)
     np.testing.assert_allclose(tiled['mean'], np.asarray(full['mean']),
                                atol=1e-5)
+
+
+def test_device_tiled_forward_matches_full():
+    """Device-side tiled forward (one jitted program, scan + stitch) must
+    equal the whole-scene forward exactly."""
+    import jax
+    import jax.numpy as jnp
+    from mmlf_tpu.config import Config
+    from mmlf_tpu.models import FeedForward
+    from mmlf_tpu.validate.tiling import (receptive_radius,
+                                          tiled_forward_device)
+
+    cfg = Config(model_chs=6, model_in_blocks=1, model_out_blocks=2,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(0)
+    stacks = [jnp.asarray(rng.random((1, 9, 96, 96, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    apply_fn = lambda v, *s: model.apply(v, *s)
+
+    want = jax.jit(apply_fn)(variables, *stacks)
+    halo = receptive_radius(cfg.model_ksize, cfg.model_in_blocks,
+                            cfg.model_out_blocks)
+    got = jax.jit(lambda v, *s: tiled_forward_device(
+        apply_fn, v, s, 32, halo))(variables, *stacks)
+
+    for k in ('mean', 'logvar', 'posterior'):
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]), atol=1e-5,
+                                   err_msg=f'{k} diverges')
+    assert got['scores'] is None
+
+
+def test_validate_cli_tile_flag(tmp_path):
+    """--val_tile through the full validate CLI gives the same metrics as
+    the whole-scene path."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mmlf_tpu.config import Config
+    from mmlf_tpu.data.synth import generate_dataset
+    from mmlf_tpu.models import FeedForward
+    from mmlf_tpu.train.checkpoint import save_checkpoint
+    from mmlf_tpu.train.loop import init_state
+    from mmlf_tpu.validate.cli import run_validation
+
+    data = str(tmp_path / 'data')
+    out = str(tmp_path / 'out')
+    os.makedirs(out)
+    generate_dataset(data, scenes=1, size=128, seed=0)
+
+    cfg = Config(model_chs=6, model_in_blocks=1, model_out_blocks=2,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    tx = optax.scale_by_adam()
+    state = init_state(cfg, model, tx, [jnp.zeros((1, 9, 32, 32, 3))] * 4)
+    save_checkpoint(out, {'params': state.params,
+                          'batch_stats': state.batch_stats},
+                    cfg.to_dict(), None, 0, None)
+
+    full = run_validation(out, data)
+    tiled = run_validation(out, data, val_tile=64)
+    for k in ('mse', 'badpix', 'kld'):
+        assert abs(full[k] - tiled[k]) < 1e-4, (k, full[k], tiled[k])
