@@ -47,30 +47,48 @@ def _shift_img(img: np.ndarray, dy: float, dx: float) -> np.ndarray:
     return out
 
 
-def make_scene(rng: np.random.Generator, size: int = 128,
-               disp_bg: float = -1.0, disp_fg: float = 1.0,
-               nviews=(9, 9)):
-    """Render one scene; returns (views[r][c], gt, mpi, fg_alpha)."""
-    w, h = nviews
-    bg = _texture(rng, size)
-    fg = _texture(rng, size)
-
-    # foreground: axis-aligned box covering ~1/4 of the image
+def _layer_alpha(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Random box or ellipse occupancy mask covering ~1/16..1/4 of the image."""
+    alpha = np.zeros((size, size), dtype=np.float32)
     y0, x0 = rng.integers(size // 8, size // 2, 2)
     bh, bw = rng.integers(size // 4, size // 2, 2)
-    alpha = np.zeros((size, size), dtype=np.float32)
-    alpha[y0:y0 + bh, x0:x0 + bw] = 1.0
+    if rng.random() < 0.5:
+        alpha[y0:y0 + bh, x0:x0 + bw] = 1.0
+    else:
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        cy, cx = y0 + bh / 2.0, x0 + bw / 2.0
+        alpha[((yy - cy) / (bh / 2.0)) ** 2
+              + ((xx - cx) / (bw / 2.0)) ** 2 <= 1.0] = 1.0
+    return alpha
 
-    gt = np.where(alpha > 0, np.float32(disp_fg), np.float32(disp_bg))
 
-    # 2-plane MPI (background plane first, matching farthest-first stacking)
-    mpi = np.zeros((2, size, size, 5), dtype=np.float32)
-    mpi[0, ..., :3] = bg
-    mpi[0, ..., 3] = 1.0
-    mpi[0, ..., 4] = disp_bg
-    mpi[1, ..., :3] = fg
-    mpi[1, ..., 3] = alpha
-    mpi[1, ..., 4] = disp_fg
+def make_scene(rng: np.random.Generator, size: int = 128,
+               disp_bg: float = -1.0, disp_fg: float = 1.0,
+               nviews=(9, 9), extra_disps=()):
+    """Render one scene; returns (views[r][c], gt, mpi, fg_alpha).
+
+    Layers: a full background plane at ``disp_bg``, a foreground layer at
+    ``disp_fg``, plus one extra occluder per entry of ``extra_disps``
+    (farthest-first composited, each a random box/ellipse) — multi-layer
+    scenes approximate HCI-benchmark statistics better than two planes and
+    populate more MPI modes per pixel.
+    """
+    w, h = nviews
+    disps = [float(disp_bg), float(disp_fg)] + [float(x) for x in
+                                                sorted(extra_disps)]
+    textures = [_texture(rng, size) for _ in disps]
+    alphas = [np.ones((size, size), np.float32)] +         [_layer_alpha(rng, size) for _ in disps[1:]]
+
+    # farthest-first over-composite for gt + MPI
+    gt = np.full((size, size), disps[0], np.float32)
+    for d, a in zip(disps[1:], alphas[1:]):
+        gt = np.where(a > 0, np.float32(d), gt)
+
+    mpi = np.zeros((len(disps), size, size, 5), dtype=np.float32)
+    for k, (d, t, a) in enumerate(zip(disps, textures, alphas)):
+        mpi[k, ..., :3] = t
+        mpi[k, ..., 3] = a
+        mpi[k, ..., 4] = d
 
     views = {}
     cy, cx = h // 2, w // 2
@@ -79,13 +97,13 @@ def make_scene(rng: np.random.Generator, size: int = 128,
             # view at grid offset (dr, dc) sees content shifted so that an
             # EPI-Shift by `disp` re-centres disparity `disp` to zero
             dr, dc = r - cy, c - cx
-            bg_v = _shift_img(bg, -disp_bg * dr, -disp_bg * dc)
-            fg_v = _shift_img(fg, -disp_fg * dr, -disp_fg * dc)
-            al_v = _shift_img(alpha[..., None], -disp_fg * dr,
-                              -disp_fg * dc)[..., 0]
-            views[(r, c)] = (al_v[..., None] * fg_v
-                             + (1.0 - al_v[..., None]) * bg_v)
-    return views, gt, mpi, alpha
+            img = _shift_img(textures[0], -disps[0] * dr, -disps[0] * dc)
+            for d, t, a in zip(disps[1:], textures[1:], alphas[1:]):
+                t_v = _shift_img(t, -d * dr, -d * dc)
+                a_v = _shift_img(a[..., None], -d * dr, -d * dc)[..., 0]
+                img = a_v[..., None] * t_v + (1.0 - a_v[..., None]) * img
+            views[(r, c)] = img
+    return views, gt, mpi, alphas[1]
 
 
 def write_scene(scene_dir: str, views, gt, mpi, nviews=(9, 9)):
@@ -107,14 +125,24 @@ def write_scene(scene_dir: str, views, gt, mpi, nviews=(9, 9)):
 
 
 def generate_dataset(root: str, scenes: int = 4, size: int = 128,
-                     seed: int = 0, disp_range: float = 1.8):
-    """Generate ``scenes`` scene directories under ``root``."""
+                     seed: int = 0, disp_range: float = 1.8,
+                     disp_center: float = 0.0, layers: int = 2):
+    """Generate ``scenes`` scene directories under ``root``.
+
+    ``disp_center`` offsets every layer disparity — ``disp_center=2.5``
+    produces an off-center dataset like the reference's (trained with
+    ``--train_shift=2.5``, reference README.md:31-41).  ``layers`` >= 2
+    adds extra occluders at random disparities in the same range.
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     for s in range(scenes):
-        disp_bg = float(rng.uniform(-disp_range, 0.0))
-        disp_fg = float(rng.uniform(0.0, disp_range))
-        views, gt, mpi, _ = make_scene(rng, size, disp_bg, disp_fg)
+        disp_bg = float(rng.uniform(-disp_range, 0.0)) + disp_center
+        disp_fg = float(rng.uniform(0.0, disp_range)) + disp_center
+        extra = [float(rng.uniform(-disp_range, disp_range)) + disp_center
+                 for _ in range(max(0, layers - 2))]
+        views, gt, mpi, _ = make_scene(rng, size, disp_bg, disp_fg,
+                                       extra_disps=extra)
         write_scene(os.path.join(root, f'scene_{s:02d}'), views, gt, mpi)
     return root
 
@@ -129,8 +157,13 @@ def main():
     @click.option('--seed', default=0, help='RNG seed')
     @click.option('--disp_range', default=1.8,
                   help='Max |disparity| of the two planes')
-    def cli(output_dir, scenes, size, seed, disp_range):
-        generate_dataset(output_dir, scenes, size, seed, disp_range)
+    @click.option('--disp_center', default=0.0,
+                  help='Disparity offset (2.5 = reference-style off-center)')
+    @click.option('--layers', default=2, help='Number of depth layers')
+    def cli(output_dir, scenes, size, seed, disp_range, disp_center,
+            layers):
+        generate_dataset(output_dir, scenes, size, seed, disp_range,
+                         disp_center, layers)
         print(f'Wrote {scenes} synthetic scenes to {output_dir}')
 
     cli()

@@ -65,6 +65,11 @@ from .loop import train
               help='[TPU] force host-side window extraction')
 @click.option('--remat', is_flag=True,
               help='[TPU] rematerialize conv blocks (fit bigger batches)')
+@click.option('--train_accum', default=1,
+              help='[TPU] gradient-accumulation microbatches: bs=512 as '
+                   '8x64 reproduces the reference 8-GPU recipe on one chip')
+@click.option('--cache_bf16', is_flag=True,
+              help='[TPU] bfloat16 image scene cache (halves gather traffic)')
 @click.option('--train_profile', is_flag=True,
               help='[TPU] capture a jax.profiler trace of steps 10-15')
 @click.option('--train_nan_guard', is_flag=True,

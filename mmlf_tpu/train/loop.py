@@ -134,8 +134,9 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
 
     # MPI windows are only materialized when a loss actually reads them
     with_mpi = bool(cfg.train_loss_multimodal or cfg.train_loss_strongest)
+    accum = max(1, int(getattr(cfg, 'train_accum', 1)))
 
-    def step_fn(state: TrainState, batch, cache=None):
+    def microbatch_grads(state: TrainState, batch, cache):
         if use_cache:
             h, v, i, d, gt, mpi, mask = gather_augment(
                 cache, batch, cfg.train_ps, window_size(cfg.train_ps),
@@ -162,6 +163,38 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        return loss, new_stats, grads
+
+    def step_fn(state: TrainState, batch, cache=None):
+        if accum == 1:
+            loss, new_stats, grads = microbatch_grads(state, batch, cache)
+        else:
+            # gradient accumulation: global batch as `accum` sequential
+            # microbatches in ONE program (lax.scan) — this is how the
+            # reference's bs=512 README recipe fits one chip.  Chunk
+            # losses/grads are averaged (exact when per-chunk mask counts
+            # match, i.e. away from masked scene borders); BatchNorm batch
+            # stats come from chunk 0, matching torch DataParallel where
+            # only replica 0's (microbatch-sized) buffer updates survive.
+            chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, -1) + x.shape[1:]), batch)
+
+            def body(carry, xs):
+                chunk, idx = xs
+                loss_c, stats_c, grads_c = microbatch_grads(state, chunk,
+                                                            cache)
+                loss_a, stats_a, grads_a = carry
+                stats_a = jax.tree_util.tree_map(
+                    lambda a, c: jnp.where(idx == 0, c, a),
+                    stats_a, stats_c)
+                grads_a = jax.tree_util.tree_map(
+                    lambda a, c: a + c / accum, grads_a, grads_c)
+                return (loss_a + loss_c / accum, stats_a, grads_a), None
+
+            zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            init = (jnp.float32(0.0), state.batch_stats, zeros_g)
+            (loss, new_stats, grads), _ = jax.lax.scan(
+                body, init, (chunks, jnp.arange(accum)))
 
         lr = lr_schedule(cfg, state.step)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

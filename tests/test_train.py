@@ -94,3 +94,49 @@ def test_train_loss_decreases_base(data_dirs, tmp_path):
     log = open(os.path.join(out, 'log.csv')).read().splitlines()
     losses = [float(l.split(',')[1]) for l in log[1:]]
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_grad_accumulation_matches_full_batch(tmp_path):
+    """accum=2 (two microbatches) equals the full-batch step exactly for
+    mean losses with full masks (no BN: stats semantics differ by design)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mmlf_tpu.config import Config
+    from mmlf_tpu.data import HCI4D
+    from mmlf_tpu.data.pipeline import DevicePipeline
+    from mmlf_tpu.data.synth import generate_dataset
+    from mmlf_tpu.models import FeedForward
+    from mmlf_tpu.train.loop import init_state, make_train_step
+
+    root = str(tmp_path / 'accum')
+    generate_dataset(root, scenes=1, size=128, seed=0)
+    base = dict(train_trainset=root, train_bs=4, train_ps=32,
+                train_lr=1e-2, train_max_downscale=1, model_chs=6,
+                model_in_blocks=1, model_out_blocks=2,
+                model_no_batchnorm=True, train_no_data_augment=True)
+    cfg1 = Config(**base).finalize()
+    cfg2 = Config(**base, train_accum=2).finalize()
+
+    ds = HCI4D(root, cache=True)
+    pipe = DevicePipeline(ds, cfg1, seed=0)
+    batch = pipe.sample_batch(4)
+
+    model = FeedForward.from_config(cfg1)
+    # identity transform: the param delta IS -lr * grad, so this compares
+    # raw gradients (Adam's first step is ~sign(g) and amplifies float
+    # reassociation noise on near-zero grads)
+    tx = optax.identity()
+    state = init_state(cfg1, model, tx, [jnp.zeros((1, 9, 32, 32, 3))] * 4)
+
+    s1, l1 = make_train_step(cfg1, model, tx, use_cache=True)(
+        state, batch, pipe.cache)
+    state = init_state(cfg1, model, tx, [jnp.zeros((1, 9, 32, 32, 3))] * 4)
+    s2, l2 = make_train_step(cfg2, model, tx, use_cache=True)(
+        state, batch, pipe.cache)
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
