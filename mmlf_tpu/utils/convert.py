@@ -32,10 +32,69 @@ def _conv(kernel_oihw, bias):
     }
 
 
+def _conv_transpose(kernel_iohw, bias):
+    """torch ConvTranspose2d (in, out, kH, kW) → flax ConvTranspose HWIO.
+
+    flax's ``nn.ConvTranspose`` correlates the zero-dilated input with the
+    kernel as-is, while torch's transposed conv scatters with it — the two
+    agree when the spatial taps are flipped (verified numerically)."""
+    k = np.transpose(np.asarray(kernel_iohw), (2, 3, 0, 1))[::-1, ::-1]
+    return {'kernel': np.ascontiguousarray(k), 'bias': np.asarray(bias)}
+
+
+def _convert_unet(sd: Dict[str, np.ndarray], prefix: str,
+                  depth: int = 5) -> tuple:
+    """Convert the reference U-Net out-net (reference mmlf/model/unet.py,
+    instantiated with padding=True, batch_norm=True, up_mode='upconv' from
+    feed_forward.py:189-204) into our ``models/unet.py`` tree.
+
+    torch layout per UNetConvBlock (with batch_norm): Sequential indices
+    0=Conv, 2=BatchNorm, 3=Conv, 5=BatchNorm.  torch ``up_path[j]`` is built
+    for ``i = depth-2-j`` in our ``up{i}`` naming (reference unet.py:57-62).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv_block(tpfx: str) -> tuple:
+        p = {
+            'conv0': _conv(sd[f'{tpfx}.0.weight'], sd[f'{tpfx}.0.bias']),
+            'conv1': _conv(sd[f'{tpfx}.3.weight'], sd[f'{tpfx}.3.bias']),
+            'bn0': {'scale': sd[f'{tpfx}.2.weight'],
+                    'bias': sd[f'{tpfx}.2.bias']},
+            'bn1': {'scale': sd[f'{tpfx}.5.weight'],
+                    'bias': sd[f'{tpfx}.5.bias']},
+        }
+        s = {
+            'bn0': {'mean': sd[f'{tpfx}.2.running_mean'],
+                    'var': sd[f'{tpfx}.2.running_var']},
+            'bn1': {'mean': sd[f'{tpfx}.5.running_mean'],
+                    'var': sd[f'{tpfx}.5.running_var']},
+        }
+        return p, s
+
+    for i in range(depth):
+        p, s = conv_block(f'{prefix}down_path.{i}.block')
+        params[f'down{i}'] = p
+        stats[f'down{i}'] = s
+    for j in range(depth - 1):
+        i = depth - 2 - j
+        p, s = conv_block(f'{prefix}up_path.{j}.conv_block.block')
+        params[f'up{i}'] = {
+            'up': _conv_transpose(sd[f'{prefix}up_path.{j}.up.weight'],
+                                  sd[f'{prefix}up_path.{j}.up.bias']),
+            'conv_block': p,
+        }
+        stats[f'up{i}'] = {'conv_block': s}
+    params['last'] = _conv(sd[f'{prefix}last.weight'],
+                           sd[f'{prefix}last.bias'])
+    return params, stats
+
+
 def torch_state_to_flax(state_dict: Dict[str, 'np.ndarray'], *,
                         in_blocks: int, out_blocks: int,
                         no_batchnorm: bool = False,
-                        cross: bool = False) -> dict:
+                        cross: bool = False,
+                        unet: bool = False) -> dict:
     """Build ``{'params': ..., 'batch_stats': ...}`` from a torch state dict.
 
     ``state_dict`` values may be torch tensors or numpy arrays.
@@ -77,7 +136,10 @@ def torch_state_to_flax(state_dict: Dict[str, 'np.ndarray'], *,
     if not cross:
         convert_net('in_net_id', 'in_net_id', in_blocks,
                     last_has_bn_relu=True)
-    convert_net('out_net', 'out_net', out_blocks, last_has_bn_relu=False)
+    if unet:
+        params['out_net'], stats['out_net'] = _convert_unet(sd, 'out_net.')
+    else:
+        convert_net('out_net', 'out_net', out_blocks, last_has_bn_relu=False)
 
     return {'params': params, 'batch_stats': stats}
 
@@ -98,5 +160,6 @@ def load_reference_checkpoint(path: str) -> tuple:
     cfg = Config.from_dict(state['hyper_parameters']).finalize()
     variables = torch_state_to_flax(
         sd, in_blocks=cfg.model_in_blocks, out_blocks=cfg.model_out_blocks,
-        no_batchnorm=cfg.model_no_batchnorm, cross=cfg.model_cross)
+        no_batchnorm=cfg.model_no_batchnorm, cross=cfg.model_cross,
+        unet=cfg.model_unet)
     return variables, cfg

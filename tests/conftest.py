@@ -25,3 +25,26 @@ jax.config.update('jax_platforms', 'cpu')
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_tests')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        '--runslow', action='store_true', default=False,
+        help='run slow full-configuration oracle tests (minutes each)')
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: full-size (paper-configuration) parity tests, '
+        'opt-in via --runslow or RUN_SLOW=1')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--runslow') or os.environ.get('RUN_SLOW'):
+        return
+    skip = pytest.mark.skip(reason='slow: pass --runslow (or RUN_SLOW=1)')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)
