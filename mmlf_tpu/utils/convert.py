@@ -144,6 +144,80 @@ def torch_state_to_flax(state_dict: Dict[str, 'np.ndarray'], *,
     return {'params': params, 'batch_stats': stats}
 
 
+def _deconv(flax_conv: dict) -> tuple:
+    """flax HWIO conv → torch (OIHW weight, bias)."""
+    k = np.transpose(np.asarray(flax_conv['kernel']), (3, 2, 0, 1))
+    return np.ascontiguousarray(k), np.asarray(flax_conv['bias'])
+
+
+def flax_to_torch_state(variables: dict, *, in_blocks: int, out_blocks: int,
+                        no_batchnorm: bool = False,
+                        cross: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`torch_state_to_flax` for the conv trunk: export our
+    flax variables as a reference-format torch state dict (numpy values), so
+    checkpoints trained here can be loaded by the reference implementation
+    (reference mmlf/validate/cli.py:227-234) or compared against its models.
+    """
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    if 'down0' in params.get('out_net', {}):
+        raise NotImplementedError(
+            'U-Net out-net export to torch is not supported (conv-trunk '
+            'checkpoints only)')
+    sd: Dict[str, np.ndarray] = {}
+
+    def export_net(flax_name: str, torch_prefix: str, n_blocks: int,
+                   last_has_bn_relu: bool):
+        p_net = params[flax_name]
+        s_net = stats.get(flax_name, {})
+        for b in range(n_blocks):
+            blk = p_net[f'block{b}']
+            w, bias = _deconv(blk['conv1'])
+            sd[f'{torch_prefix}.{b}.0.weight'] = w
+            sd[f'{torch_prefix}.{b}.0.bias'] = bias
+            w, bias = _deconv(blk['conv2'])
+            sd[f'{torch_prefix}.{b}.2.weight'] = w
+            sd[f'{torch_prefix}.{b}.2.bias'] = bias
+            if 'bn' in blk:
+                sd[f'{torch_prefix}.{b}.3.weight'] = np.asarray(
+                    blk['bn']['scale'])
+                sd[f'{torch_prefix}.{b}.3.bias'] = np.asarray(
+                    blk['bn']['bias'])
+                bn_s = s_net[f'block{b}']['bn']
+                sd[f'{torch_prefix}.{b}.3.running_mean'] = np.asarray(
+                    bn_s['mean'])
+                sd[f'{torch_prefix}.{b}.3.running_var'] = np.asarray(
+                    bn_s['var'])
+                sd[f'{torch_prefix}.{b}.3.num_batches_tracked'] = np.asarray(
+                    0, dtype=np.int64)
+
+    export_net('in_net_hv', 'in_net_hv', in_blocks, last_has_bn_relu=True)
+    if not cross:
+        export_net('in_net_id', 'in_net_id', in_blocks,
+                   last_has_bn_relu=True)
+    export_net('out_net', 'out_net', out_blocks, last_has_bn_relu=False)
+    return sd
+
+
+def save_reference_checkpoint(path: str, variables: dict, cfg,
+                              epoch=None, iteration: int = 0,
+                              loss: float = 0.0) -> None:
+    """Write a reference-format ``checkpoint.pt`` from our flax variables
+    (payload contract: reference mmlf/utils/dl.py:63-74)."""
+    import torch
+
+    cfg_dict = cfg if isinstance(cfg, dict) else cfg.to_dict()
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) if v.ndim else
+          torch.tensor(v) for k, v in flax_to_torch_state(
+              variables, in_blocks=cfg_dict['model_in_blocks'],
+              out_blocks=cfg_dict['model_out_blocks'],
+              no_batchnorm=cfg_dict.get('model_no_batchnorm', False),
+              cross=cfg_dict.get('model_cross', False)).items()}
+    torch.save({'model_state_dict': sd, 'optimizer_state_dict': None,
+                'hyper_parameters': cfg_dict, 'epoch': epoch,
+                'iteration': iteration, 'loss': loss}, path)
+
+
 def load_reference_checkpoint(path: str) -> tuple:
     """Load a reference ``checkpoint.pt``; returns (flax_variables, config).
 

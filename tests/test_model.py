@@ -163,6 +163,51 @@ def test_parity_with_reference_weights(head):
             tout['posterior'].numpy(), atol=2e-3)
 
 
+def test_flax_to_torch_roundtrip():
+    """Reverse conversion (our checkpoint → reference torch format): a
+    torch→flax→torch round trip is exact, and a fresh reference model
+    loaded from the exported state dict (strict) reproduces the forward."""
+    from mmlf_tpu.utils.convert import flax_to_torch_state, torch_state_to_flax
+
+    cfg = Config(model_uncert=True, **SMALL).finalize()
+    tmodel, torch = _reference_model(cfg)
+    torch.manual_seed(3)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+
+    variables = torch_state_to_flax(
+        tmodel.state_dict(), in_blocks=cfg.model_in_blocks,
+        out_blocks=cfg.model_out_blocks)
+    sd_back = flax_to_torch_state(variables,
+                                  in_blocks=cfg.model_in_blocks,
+                                  out_blocks=cfg.model_out_blocks)
+    for k, v in tmodel.state_dict().items():
+        if k.endswith('num_batches_tracked'):
+            continue
+        np.testing.assert_array_equal(np.asarray(sd_back[k]), v.numpy(),
+                                      err_msg=k)
+
+    fresh = _reference_model(cfg)[0]
+    fresh.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                           if np.ndim(v) else torch.tensor(v)
+                           for k, v in sd_back.items()}, strict=True)
+    rng = np.random.default_rng(4)
+    stacks_np = [rng.random((1, cfg.model_views, 16, 16, 3),
+                            dtype=np.float32) for _ in range(4)]
+    with torch.no_grad():
+        t_in = [torch.from_numpy(
+            np.ascontiguousarray(np.transpose(s, (0, 1, 4, 2, 3))))
+            for s in stacks_np]
+        np.testing.assert_allclose(fresh(*t_in)['mean'].numpy(),
+                                   tmodel(*t_in)['mean'].numpy(), atol=0)
+
+
 def test_unet_parity_with_reference_weights():
     """Convert a --model_unet reference checkpoint and compare eval forwards
     (reference feed_forward.py:99-100,189-204 + unet.py; VERDICT r1 weak #4:
