@@ -83,6 +83,9 @@ class Config:
     # the global batch (and DataParallel's per-replica-64 BN) on ONE chip
     train_profile: bool = False  # capture a jax.profiler trace early on
     train_nan_guard: bool = False  # stop if the loss goes non-finite
+    model_inn: bool = False      # WORKING invertible network (models/inn.py;
+    # the reference's --model_invertible path is dead upstream and fails
+    # identically here — this flag is the beyond-reference replacement)
 
     def finalize(self) -> 'Config':
         """Apply the reference's derived-value rules.

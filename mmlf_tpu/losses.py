@@ -170,9 +170,13 @@ def improved_multi_uncertainty_l1(output, mpi, mask, mask_padding=None):
 
 def information_bottleneck(output, target, beta: float):
     """INN information-bottleneck loss (reference InformationBottleneckLoss
-    :375-417).  Provided for completeness; the INN path itself is disabled
-    upstream and here (see models/invertible.py).
-    """
+    :375-417), channel-last: ``dists``/``target`` are ``(b, H, W, K)``
+    (the working INN path, models/inn.py).  The incoming ``jac`` is already
+    normalized by ``dims·H·W`` in the INN forward and is divided again here
+    — both divisions are reference quirks kept for parity
+    (reference invertible.py:295-296 + loss.py:403).  The reference's
+    ``mask`` argument is accepted nowhere because its loss ignores it
+    (loss.py:389)."""
     beta_nll = 1.0 / (1.0 + beta)
     beta_cat_ce = beta / (1.0 + beta)
 
@@ -181,11 +185,11 @@ def information_bottleneck(output, target, beta: float):
     mu = output['mu']
     dists = output['dists']
 
-    w, h = zixels.shape[-1], zixels.shape[-2]
+    h, w = zixels.shape[1], zixels.shape[2]
     dims = mu.shape[-1]
 
     jac = jac.reshape(-1, 1, 1) / (dims * w * h)
-    nll = ((-logsumexp(-0.5 * dists, axis=1)) - jac) / dims
-    cat_ce = -jnp.sum(jax.nn.log_softmax(-0.5 * dists, axis=1) * target,
-                      axis=1)
+    nll = ((-logsumexp(-0.5 * dists, axis=-1)) - jac) / dims
+    cat_ce = -jnp.sum(jax.nn.log_softmax(-0.5 * dists, axis=-1) * target,
+                      axis=-1)
     return beta_nll * jnp.mean(nll) + beta_cat_ce * jnp.mean(cat_ce)

@@ -1,0 +1,328 @@
+"""Working invertible-network (INN) path — BEYOND the reference.
+
+The reference ships an INN variant ("zixels" + GMM cluster readout:
+mmlf/model/invertible.py + coupling_blocks.py, 576 LoC) but it is dead code
+— its FrEIA dependency is absent, the CLIs comment out its imports, and
+training raises ``NotImplementedError`` (reference mmlf/train/cli.py:251-253).
+The dead code also carries latent bugs (the weight-sharing subnet closures of
+``init_in_net_shared_weights`` are built and then NOT passed to the nodes;
+``blocks1[i-1]`` mis-links the graph for the second block).
+
+This module implements what that code *intends*, TPU-first:
+
+  * GLOW-style all-in-one coupling blocks (reference
+    coupling_blocks.py:77-141): channel-split affine coupling with
+    ``clamp·tanh(0.2·s)`` log-scales, per-channel actnorm
+    (SOFTPLUS/SIGMOID/EXP activations, :88-100) and a fixed channel
+    permutation (hard permutation or a random rotation for
+    ``--model_soft_permutation``; generated with a QR decomposition instead
+    of scipy's ``special_ortho_group``), with exact log-det-Jacobian
+    accumulation — all channel-last, the split/affine/permute mapping to
+    plain vector ops + one (C,C) matmul on the MXU.
+  * Per-orientation streams over the 4 view stacks with h/v and i/d weight
+    sharing (the reference's *stated* intent), orientation normalization as
+    activation transposes/flips (reference invertible.py:399-435), channel
+    concat, and ``model_out_blocks`` coupling blocks on the merged zixels
+    (invertible.py:101).
+  * The GMM "zixel" readout (reference ZixelWrapper, invertible.py:301-396):
+    trainable cluster centers ``mu``, squared cluster distances via one
+    matmul, min-distance one-hot → ``class_to_reg`` mean, softmax posterior,
+    moment ``logvar`` — so an INN checkpoint plugs into the same validation
+    + multimodal analysis chain as the DPP head (posterior bins =
+    ``4·views·3 = 108`` = the validate CLI's bin count).
+  * ``inverse()`` reconstructs the input stacks from zixels (the property
+    the reference's dead code never demonstrates); tests/test_inn.py checks
+    the round trip and the log-det against an autodiff Jacobian.
+
+Quirk parity kept where the reference defines behavior: ``jac`` is
+pre-normalized by ``dims·H·W`` in the forward AND again in the IB loss
+(reference invertible.py:295-296 + loss.py:403), subnet ends in
+BN+ReLU so coupling log-scales are ≥ 0 (coupling_blocks.py:37-38 with
+block() of invertible.py:133-154), split is ``C//2 | C-C//2``
+(coupling_blocks.py:21-22).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.codecs import bin_centers, class_to_reg
+
+
+def _kaiming_scaled(scale: float = 0.035):
+    # torch kaiming_normal_ (fan_in, gain sqrt(2)) followed by *= scale
+    return nn.initializers.variance_scaling(2.0 * scale * scale, 'fan_in',
+                                            'normal')
+
+
+class Subnet(nn.Module):
+    """Coupling subnet — the reference's ``Invertible.block``
+    (invertible.py:115-154): Conv(k, pad k//2) → ReLU → Conv(k, pad k//2-1)
+    → BN → ReLU, kaiming·0.035 init."""
+    ch_out: int
+    ksize: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.ksize
+        p1, p2 = k // 2, (k // 2 if k % 2 == 1 else k // 2 - 1)
+        x = nn.Conv(self.ch_out, (k, k), padding=[(p1, p1), (p1, p1)],
+                    kernel_init=_kaiming_scaled(), dtype=self.dtype,
+                    name='conv1')(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.ch_out, (k, k), padding=[(p2, p2), (p2, p2)],
+                    kernel_init=_kaiming_scaled(), dtype=self.dtype,
+                    name='conv2')(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name='bn')(x)
+        return nn.relu(x)
+
+
+class AIOCouplingBlock(nn.Module):
+    """All-in-one coupling block (reference coupling_blocks.py:77-141):
+    affine coupling + actnorm + fixed permutation.  Returns
+    ``(y, logdet)`` with ``logdet`` summed per batch element."""
+    channels: int
+    ksize: int = 2
+    clamp: float = 0.7
+    act_norm: float = 0.7
+    act_norm_type: str = 'SOFTPLUS'
+    permute_soft: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.channels
+        self.len1 = c // 2
+        self.len2 = c - c // 2
+        self.s1 = Subnet(2 * self.len2, self.ksize, self.dtype, name='s1')
+        self.s2 = Subnet(2 * self.len1, self.ksize, self.dtype, name='s2')
+
+        if self.act_norm_type == 'SOFTPLUS':
+            init = 10.0 * self.act_norm
+        elif self.act_norm_type in ('SIGMOID', 'EXP'):
+            init = float(np.log(self.act_norm))
+        else:
+            raise ValueError('act_norm_type must be SOFTPLUS, SIGMOID '
+                             'or EXP')
+        self.act_scale = self.param(
+            'act_scale', lambda rng: jnp.full((c,), init, jnp.float32))
+        self.act_offset = self.param(
+            'act_offset', nn.initializers.zeros, (c,))
+
+        def perm_init(rng):
+            if self.permute_soft:
+                g = jax.random.normal(rng, (c, c))
+                q, r = jnp.linalg.qr(g)
+                q = q * jnp.sign(jnp.diag(r))          # unique Q
+                q = q * jnp.linalg.det(q)              # det +1 (rotation)
+                return q.astype(jnp.float32)
+            p = jax.random.permutation(rng, c)
+            return jnp.eye(c, dtype=jnp.float32)[p]
+        # fixed (non-trainable) permutation: stored as a param for plumbing
+        # simplicity, frozen with stop_gradient at use sites
+        self.w = self.param('perm', perm_init)
+
+    def _scale(self):
+        a = self.act_scale
+        if self.act_norm_type == 'SOFTPLUS':
+            # torch Softplus(beta=0.5) scaled by 0.1 (coupling_blocks.py:93-94)
+            return 0.1 * 2.0 * jnp.logaddexp(0.0, 0.5 * a)
+        if self.act_norm_type == 'SIGMOID':
+            return 10.0 * jax.nn.sigmoid(a - 2.0)
+        return jnp.exp(a)
+
+    def _log_e(self, s):
+        return self.clamp * jnp.tanh(0.2 * s)
+
+    def __call__(self, x, train: bool = False, rev: bool = False):
+        w = jax.lax.stop_gradient(self.w)
+        scale = self._scale()
+        n_pix = x.shape[1] * x.shape[2]
+        perm_jac = n_pix * jnp.sum(jnp.log(scale + 1e-12))
+
+        if rev:
+            # undo permute+actnorm, then the coupling in reverse order
+            x = (x @ w.T - self.act_offset) / scale
+            x1, x2 = x[..., :self.len1], x[..., self.len1:]
+            a2 = self.s2(x2, train)
+            lg2 = self._log_e(a2[..., :self.len1])
+            y1 = (x1 - a2[..., self.len1:]) * jnp.exp(-lg2)
+            a1 = self.s1(y1, train)
+            lg1 = self._log_e(a1[..., :self.len2])
+            y2 = (x2 - a1[..., self.len2:]) * jnp.exp(-lg1)
+            logdet = -(jnp.sum(lg1, axis=(1, 2, 3))
+                       + jnp.sum(lg2, axis=(1, 2, 3))) - perm_jac
+            return jnp.concatenate([y1, y2], axis=-1), logdet
+
+        x1, x2 = x[..., :self.len1], x[..., self.len1:]
+        a1 = self.s1(x1, train)
+        lg1 = self._log_e(a1[..., :self.len2])
+        y2 = x2 * jnp.exp(lg1) + a1[..., self.len2:]
+        a2 = self.s2(y2, train)
+        lg2 = self._log_e(a2[..., :self.len1])
+        y1 = x1 * jnp.exp(lg2) + a2[..., self.len1:]
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = (y * scale + self.act_offset) @ w
+        logdet = (jnp.sum(lg1, axis=(1, 2, 3))
+                  + jnp.sum(lg2, axis=(1, 2, 3)) + perm_jac)
+        return y, logdet
+
+
+class INN(nn.Module):
+    """The full invertible model + zixel readout (reference Invertible +
+    ZixelWrapper).  Call signature and output dict match FeedForward's so
+    the train loop / validate CLI drive it unchanged."""
+    views: int = 9
+    in_blocks: int = 3
+    out_blocks: int = 8
+    ksize: int = 2
+    cross: bool = False
+    clamp: float = 0.7
+    act_norm: float = 0.7
+    act_norm_type: str = 'SOFTPLUS'
+    permute_soft: bool = False
+    disp_min: float = -3.5
+    disp_max: float = 3.5
+    dtype: Any = jnp.float32
+
+    @property
+    def dims(self) -> int:
+        return (2 if self.cross else 4) * self.views * 3
+
+    def setup(self):
+        kw = dict(ksize=self.ksize, clamp=self.clamp,
+                  act_norm=self.act_norm,
+                  act_norm_type=self.act_norm_type,
+                  permute_soft=self.permute_soft, dtype=self.dtype)
+        c = self.views * 3
+        # h/v and i/d streams share WEIGHTS (the reference's stated intent,
+        # invertible.py:176-190 — its dead code accidentally unshares them)
+        self.in_net_hv = [AIOCouplingBlock(c, **kw) for _ in
+                          range(self.in_blocks)]
+        if not self.cross:
+            self.in_net_id = [AIOCouplingBlock(c, **kw) for _ in
+                              range(self.in_blocks)]
+        self.out_net = [AIOCouplingBlock(self.dims, **kw) for _ in
+                        range(self.out_blocks)]
+        self.mu = self.param('mu', nn.initializers.normal(1.0),
+                             (1, self.dims, self.dims))
+
+    @staticmethod
+    def _fold(stack):
+        # (b, n, H, W, 3) -> (b, H, W, n*3)
+        b, n, h, w, c = stack.shape
+        return jnp.transpose(stack, (0, 2, 3, 1, 4)).reshape(b, h, w, n * c)
+
+    @staticmethod
+    def _unfold(x, n):
+        b, h, w, nc = x.shape
+        return jnp.transpose(x.reshape(b, h, w, n, nc // n),
+                             (0, 3, 1, 2, 4))
+
+    def _stream(self, blocks: Sequence[AIOCouplingBlock], x, train, rev):
+        logdet = jnp.zeros((x.shape[0],), jnp.float32)
+        for blk in (reversed(blocks) if rev else blocks):
+            x, j = blk(x, train, rev=rev)
+            logdet = logdet + j
+        return x, logdet
+
+    def __call__(self, h_views, v_views, i_views=None, d_views=None,
+                 train: bool = False):
+        assert h_views.shape[1] * h_views.shape[4] == self.views * 3, (
+            f'INN is built for {self.views} views but the input stack has '
+            f'{h_views.shape[1]} (the coupling splits are static — '
+            f'model_views must match the dataset)')
+        hw = h_views.shape[2] * h_views.shape[3]
+
+        # orientation normalization on activations (invertible.py:279-292):
+        # h transposed; i transposed + flipped; all mapped back to the
+        # v-orientation before the merge (TransformHtoV / TransformItoD)
+        zh, jh = self._stream(
+            self.in_net_hv,
+            jnp.transpose(self._fold(h_views), (0, 2, 1, 3)), train, False)
+        zh = jnp.transpose(zh, (0, 2, 1, 3))
+        zv, jv = self._stream(self.in_net_hv, self._fold(v_views), train,
+                              False)
+        parts, logdet = [zh, zv], jh + jv
+        if not self.cross:
+            xi = jnp.flip(jnp.transpose(self._fold(i_views), (0, 2, 1, 3)),
+                          axis=2)
+            zi, ji = self._stream(self.in_net_id, xi, train, False)
+            zi = jnp.transpose(jnp.flip(zi, axis=2), (0, 2, 1, 3))
+            zd, jd = self._stream(self.in_net_id, self._fold(d_views),
+                                  train, False)
+            parts += [zi, zd]
+            logdet = logdet + ji + jd
+
+        z = jnp.concatenate(parts, axis=-1)
+        z, jo = self._stream(self.out_net, z, train, False)
+        logdet = logdet + jo
+
+        # reference normalization (invertible.py:295-296); the IB loss
+        # divides AGAIN — quirk kept on both sides
+        jac = logdet / float(self.dims * hw)
+        return self._readout(z, jac)
+
+    def _readout(self, zixels, jac):
+        """GMM cluster readout (reference ZixelWrapper, invertible.py:317-396,
+        channel-last; the reference's debug print at :368 not reproduced)."""
+        mu = self.mu[0]                                   # (K, D)
+        zz = jnp.sum(zixels ** 2, axis=-1, keepdims=True)
+        zm = jnp.einsum('bhwd,kd->bhwk', zixels, mu)
+        mm = jnp.sum(mu ** 2, axis=-1)
+        dists = zz - 2.0 * zm + mm                        # (b, H, W, K)
+
+        k = dists.shape[-1]
+        one_hot = (jnp.min(dists, axis=-1, keepdims=True)
+                   == dists).astype(jnp.float32)
+        nll = (0.5 * dists - jac[:, None, None, None]) / float(k)
+        mean = class_to_reg(one_hot, self.disp_min, self.disp_max, k)
+        posterior = jax.nn.softmax(-0.5 * dists, axis=-1)
+        bins = bin_centers(self.disp_min, self.disp_max, k)
+        logvar = jnp.log(jnp.sum((bins - mean[..., None]) ** 2 * posterior,
+                                 axis=-1))
+        return {'zixels': zixels, 'jac': jac, 'mu': self.mu,
+                'dists': dists, 'nll': nll, 'one_hot': one_hot,
+                'mean': mean, 'logvar': logvar, 'posterior': posterior,
+                'scores': None}
+
+    def inverse(self, variables, zixels):
+        """Reconstruct the four view stacks from zixels (eval-mode BN).
+        Returns ``(h, v, i, d)``; the round trip is exact up to float32
+        (tests/test_inn.py)."""
+        def run(module, z):
+            z, _ = module._stream(module.out_net, z, False, True)
+            c = module.views * 3
+            zh, zv = z[..., :c], z[..., c:2 * c]
+            zh, _ = module._stream(
+                module.in_net_hv, jnp.transpose(zh, (0, 2, 1, 3)), False,
+                True)
+            h = jnp.transpose(zh, (0, 2, 1, 3))
+            v, _ = module._stream(module.in_net_hv, zv, False, True)
+            out = [h, v]
+            if not module.cross:
+                zi, zd = z[..., 2 * c:3 * c], z[..., 3 * c:]
+                zi = jnp.flip(jnp.transpose(zi, (0, 2, 1, 3)), axis=2)
+                zi, _ = module._stream(module.in_net_id, zi, False, True)
+                i = jnp.transpose(jnp.flip(zi, axis=2), (0, 2, 1, 3))
+                d, _ = module._stream(module.in_net_id, zd, False, True)
+                out += [i, d]
+            return tuple(module._unfold(x, module.views) for x in out)
+        return nn.apply(run, self)(variables, zixels)
+
+    @classmethod
+    def from_config(cls, cfg) -> 'INN':
+        return cls(views=cfg.model_views, in_blocks=cfg.model_in_blocks,
+                   out_blocks=cfg.model_out_blocks, ksize=cfg.model_ksize,
+                   cross=cfg.model_cross, clamp=cfg.model_clamp,
+                   act_norm=cfg.model_act_norm,
+                   act_norm_type=cfg.model_act_norm_type,
+                   permute_soft=cfg.model_soft_permutation,
+                   disp_min=cfg.val_disp_min, disp_max=cfg.val_disp_max,
+                   dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)

@@ -74,6 +74,10 @@ from .loop import train
               help='[TPU] capture a jax.profiler trace of steps 10-15')
 @click.option('--train_nan_guard', is_flag=True,
               help='[TPU] stop when the loss goes non-finite')
+@click.option('--model_inn', is_flag=True,
+              help='[TPU] WORKING invertible network (the reference\'s '
+                   '--model_invertible is dead upstream and fails '
+                   'identically here; this trains the real INN)')
 def main(output_dir, **kwargs):
     cfg = Config.from_dict(kwargs).finalize()
     train(cfg, output_dir)

@@ -37,8 +37,9 @@ from ..data.hci4d import HCI4D
 from ..data.pipeline import (DevicePipeline, TrainPipeline, augment_batch,
                              gather_augment, window_size)
 from ..losses import (improved_multi_uncertainty_l1, improved_uncertainty_l1,
-                      masked_badpix, masked_cross_entropy, masked_l1,
-                      masked_mse, multi_masked_l1)
+                      information_bottleneck, masked_badpix,
+                      masked_cross_entropy, masked_l1, masked_mse,
+                      multi_masked_l1)
 from ..models import FeedForward
 from ..models.ensemble import ensemble_forward
 from ..models.invertible import NOT_SUPPORTED_MSG
@@ -74,6 +75,10 @@ def lr_schedule(cfg: Config, step):
 def compute_loss(cfg: Config, output, gt, mpi, gt_classes, mask,
                  mask_padding):
     """Head-dependent training loss (reference mmlf/train/cli.py:247-255)."""
+    if cfg.model_inn:
+        # working INN path (beyond reference — models/inn.py); the IB loss
+        # ignores the mask like the reference's (loss.py:389)
+        return information_bottleneck(output, gt_classes, cfg.train_beta)
     if cfg.model_uncert:
         if cfg.train_loss_multimodal:
             return improved_multi_uncertainty_l1(output, mpi, mask,
@@ -98,11 +103,12 @@ def prepare_targets(cfg: Config, gt, mpi, mask):
     mask = mask.astype(jnp.int32) * margin.astype(jnp.int32)
 
     gt_classes = None
-    if cfg.model_discrete:
-        if cfg.train_loss_multimodal:
+    if cfg.model_discrete or cfg.model_inn:
+        if cfg.train_loss_multimodal and not cfg.model_inn:
             gt_classes = mpi_to_weights(mpi, cfg.val_disp_min,
                                         cfg.val_disp_max, cfg.steps)
         else:
+            # INN cluster count == cfg.steps (models/inn.py dims)
             gt_classes = reg_to_class(gt, cfg.val_disp_min,
                                       cfg.val_disp_max, cfg.steps)
 
@@ -233,6 +239,10 @@ def make_val_forward(cfg: Config, model: FeedForward):
 
 def val_loss(cfg: Config, output, gt, mpi, mask):
     """Validation loss selection (reference mmlf/train/cli.py:289-298)."""
+    if cfg.model_inn:
+        target = reg_to_class(gt, cfg.val_disp_min, cfg.val_disp_max,
+                              cfg.steps)
+        return information_bottleneck(output, target, cfg.train_beta)
     if cfg.model_uncert:
         if cfg.train_loss_multimodal:
             return improved_multi_uncertainty_l1(output, mpi, mask)
@@ -292,7 +302,11 @@ def train(cfg: Config, output_dir: str,
         cache = None
     valset = HCI4D(cfg.train_valset, cache=True)
 
-    model = FeedForward.from_config(cfg)
+    if cfg.model_inn:
+        from ..models.inn import INN
+        model = INN.from_config(cfg)
+    else:
+        model = FeedForward.from_config(cfg)
     tx = optax.scale_by_adam()   # torch-Adam moments; LR applied in-step
 
     ps = cfg.train_ps

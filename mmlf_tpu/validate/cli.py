@@ -165,6 +165,22 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
         elif kwargs.get('model_discrete'):
             dist = output['posterior']
             nll_eval = P.nll_discrete(weights, output['posterior'])
+        elif kwargs.get('model_inn'):
+            # INN posterior is over linspace(disp_min, disp_max, dims)
+            # (models/inn.py readout) — the discrete head's grid; treated
+            # like DPP when the cluster count matches the 108-bin report
+            if output['posterior'].shape[-1] == n_bins:
+                dist = output['posterior']
+                w_inn = mpi_to_weights(mpi, cfg.val_disp_min,
+                                       cfg.val_disp_max, n_bins)
+                nll_eval = P.nll_discrete(w_inn, output['posterior'])
+            else:                       # e.g. --model_cross (54 clusters)
+                dist = P.laplace_to_discrete(n_bins, cfg.val_disp_min,
+                                             cfg.val_disp_max,
+                                             output['mean'],
+                                             output['logvar'])
+                nll_eval = P.nll_laplace(mpi, output['mean'],
+                                         output['logvar'])
         elif kwargs.get('model_uncert'):
             dist = P.laplace_to_discrete(n_bins, cfg.val_disp_min,
                                          cfg.val_disp_max, output['mean'],
@@ -207,13 +223,19 @@ def run_validation(output_dir, dataset, model_discrete=False,
     # inference is eval-mode only: fold BatchNorm into the convolutions
     # (one fewer full-activation pass per block; the 70-member ensemble
     # pays it 70x per scene) — the U-Net variant is not foldable
-    if not cfg.model_no_batchnorm and not cfg.model_unet:
+    if not cfg.model_no_batchnorm and not cfg.model_unet \
+            and not cfg.model_inn:
         from ..utils.fold_bn import fold_batchnorm
         variables = fold_batchnorm(variables)
         cfg = Config.from_dict({**cfg.to_dict(),
                                 'model_no_batchnorm': True})
 
-    model = FeedForward.from_config(cfg)
+    if cfg.model_inn:
+        from ..models.inn import INN
+        model = INN.from_config(cfg)
+        kwargs['model_inn'] = True
+    else:
+        model = FeedForward.from_config(cfg)
     print('Number of parameters:', n_params(variables['params']))
 
     n_bins = 108
