@@ -201,6 +201,13 @@ class TrainPipeline:
         out['mpi'] = mpi
         return out
 
+    def close(self):
+        """Shut down the lazy window-cutter thread pool (also runs via a
+        weakref finalizer when the pipeline is garbage collected)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
     def sample_batch(self, batch_size: int) -> Batch:
         fields = {k: [] for k in ('h', 'v', 'i', 'd', 'gt', 'mpi', 'mask')}
         y_offs, x_offs = [], []
@@ -226,6 +233,8 @@ class TrainPipeline:
             from concurrent.futures import ThreadPoolExecutor
             if self._pool is None:
                 self._pool = ThreadPoolExecutor(max_workers=8)
+                import weakref
+                weakref.finalize(self, self._pool.shutdown, wait=False)
             results = list(self._pool.map(cut, draws))
         else:
             results = [cut(d) for d in draws]

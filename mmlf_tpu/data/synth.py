@@ -74,10 +74,17 @@ def make_scene(rng: np.random.Generator, size: int = 128,
     populate more MPI modes per pixel.
     """
     w, h = nviews
-    disps = [float(disp_bg), float(disp_fg)] + [float(x) for x in
-                                                sorted(extra_disps)]
+    # depth order: the full-coverage background must be the farthest layer
+    # (smallest disparity) and partial layers composite nearest-last, or
+    # occlusion order contradicts parallax; extras behind the background
+    # would be invisible anyway and are dropped so the MPI only carries
+    # content the views can actually see
+    partial = sorted(float(x) for x in (disp_fg,) + tuple(extra_disps)
+                     if float(x) > float(disp_bg))
+    disps = [float(disp_bg)] + partial
     textures = [_texture(rng, size) for _ in disps]
-    alphas = [np.ones((size, size), np.float32)] +         [_layer_alpha(rng, size) for _ in disps[1:]]
+    alphas = [np.ones((size, size), np.float32)] + \
+        [_layer_alpha(rng, size) for _ in disps[1:]]
 
     # farthest-first over-composite for gt + MPI
     gt = np.full((size, size), disps[0], np.float32)
@@ -139,7 +146,11 @@ def generate_dataset(root: str, scenes: int = 4, size: int = 128,
     for s in range(scenes):
         disp_bg = float(rng.uniform(-disp_range, 0.0)) + disp_center
         disp_fg = float(rng.uniform(0.0, disp_range)) + disp_center
-        extra = [float(rng.uniform(-disp_range, disp_range)) + disp_center
+        # extras live strictly in front of the background (make_scene drops
+        # anything behind it — a hidden plane would put GT modes in the MPI
+        # that no view can see)
+        extra = [float(rng.uniform(disp_bg - disp_center + 0.05,
+                                   disp_range)) + disp_center
                  for _ in range(max(0, layers - 2))]
         views, gt, mpi, _ = make_scene(rng, size, disp_bg, disp_fg,
                                        extra_disps=extra)

@@ -50,7 +50,7 @@ def _build_payload(state_tree: dict, epoch: Optional[int], iteration: int,
         'iteration': int(iteration),
         'loss': float('nan') if loss is None else float(loss),
     }
-    payload.update({k: _to_host(v) for k, v in extras.items()})
+    payload.update(extras)
     return _to_host(payload)
 
 
@@ -128,6 +128,7 @@ class ModelSaver:
         self._pending = None
         self._lock = None
         self._thread = None
+        self._error = None
         if async_write:
             import threading
             self._lock = threading.Condition()
@@ -144,7 +145,14 @@ class ModelSaver:
                 if self._pending is None and self._closed:
                     return
                 job, self._pending = self._pending, None
-            _write_checkpoint(*job)
+            try:
+                _write_checkpoint(*job)
+            except BaseException as e:       # noqa: BLE001
+                # keep the writer alive (a later save may succeed, e.g.
+                # after disk space is freed) and surface the failure on
+                # the training thread at the next save/close
+                with self._lock:
+                    self._error = e
 
     def __call__(self, out_dir: str, state_tree: dict,
                  hyper_parameters: dict, epoch: Optional[int],
@@ -159,11 +167,17 @@ class ModelSaver:
                                  **extras)
         if self.async_write:
             with self._lock:
+                self._raise_pending_error()
                 self._pending = (out_dir, payload, hyper_parameters)
                 self._lock.notify()
         else:
             _write_checkpoint(out_dir, payload, hyper_parameters)
         return True
+
+    def _raise_pending_error(self):
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError('async checkpoint write failed') from e
 
     def close(self):
         """Drain the writer (call at the end of training)."""
@@ -172,3 +186,4 @@ class ModelSaver:
                 self._closed = True
                 self._lock.notify()
             self._thread.join()
+            self._raise_pending_error()

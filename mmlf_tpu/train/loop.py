@@ -346,83 +346,92 @@ def train(cfg: Config, output_dir: str,
     loss_val_avg = mse_avg = bad_pix_avg = 0.0
     time_start = 0.0
 
-    while True:
-        batch = pipeline.sample_batch(cfg.train_bs)
-        if mesh is not None:
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, b_shard), batch)
 
-        eval_mode = (cfg.train_eval_mode
-                     and i >= cfg.train_eval_mode_start)
-        if eval_mode and step_eval is None:
-            step_eval = make_train_step(cfg, model, tx, bn_train=False,
-                                        use_cache=cache is not None)
-        # observability (SURVEY §5: the reference has none beyond wall
-        # clock): optional profiler trace of steady-state steps + NaN guard
-        if cfg.train_profile and i == 10:
-            jax.profiler.start_trace(os.path.join(output_dir, 'profile'))
-        state, loss_train = (step_eval if eval_mode else step_train)(
-            state, batch, cache)
-        if cfg.train_profile and i == 15:
-            jax.block_until_ready(loss_train)
-            jax.profiler.stop_trace()
-            print(f'profiler trace written to {output_dir}/profile')
+    try:
+        while True:
+            batch = pipeline.sample_batch(cfg.train_bs)
+            if mesh is not None:
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, b_shard), batch)
 
-        if cfg.train_nan_guard and not np.isfinite(float(loss_train)):
-            raise FloatingPointError(
-                f'non-finite training loss at step {i}: '
-                f'{float(loss_train)}')
+            eval_mode = (cfg.train_eval_mode
+                         and i >= cfg.train_eval_mode_start)
+            if eval_mode and step_eval is None:
+                step_eval = make_train_step(cfg, model, tx, bn_train=False,
+                                            use_cache=cache is not None)
+            # observability (SURVEY §5: the reference has none beyond wall
+            # clock): optional profiler trace of steady-state steps + NaN guard
+            if cfg.train_profile and i == 10:
+                jax.profiler.start_trace(os.path.join(output_dir, 'profile'))
+            state, loss_train = (step_eval if eval_mode else step_train)(
+                state, batch, cache)
+            if cfg.train_profile and i == 15:
+                jax.block_until_ready(loss_train)
+                jax.profiler.stop_trace()
+                print(f'profiler trace written to {output_dir}/profile')
 
-        time_elap = time.time() - time_start
+            if cfg.train_nan_guard and not np.isfinite(float(loss_train)):
+                raise FloatingPointError(
+                    f'non-finite training loss at step {i}: '
+                    f'{float(loss_train)}')
 
-        if i % cfg.val_interval == 0:
-            loss_val_avg = mse_avg = bad_pix_avg = 0.0
-            variables = {'params': state.params,
-                         'batch_stats': state.batch_stats}
-            n_scenes = len(valset.scenes)
-            for j in range(n_scenes):
-                h, v, ii, d, center, gt, mpi, _, index = valset[j]
-                from ..data.pipeline import pad_mpi
-                stacks = [jnp.asarray(x[None]) for x in (h, v, ii, d)]
-                gt_j = jnp.asarray(gt[None])
-                mpi_j = jnp.asarray(pad_mpi(mpi)[None])
+            time_elap = time.time() - time_start
 
-                output, lv, mse_j, bp_j = val_fwd(variables, *stacks,
-                                                  gt_j, mpi_j)
-                loss_val_avg += float(lv)
-                mse_avg += float(mse_j)
-                bad_pix_avg += float(bp_j)
+            if i % cfg.val_interval == 0:
+                loss_val_avg = mse_avg = bad_pix_avg = 0.0
+                variables = {'params': state.params,
+                             'batch_stats': state.batch_stats}
+                n_scenes = len(valset.scenes)
+                for j in range(n_scenes):
+                    h, v, ii, d, center, gt, mpi, _, index = valset[j]
+                    from ..data.pipeline import pad_mpi
+                    stacks = [jnp.asarray(x[None]) for x in (h, v, ii, d)]
+                    gt_j = jnp.asarray(gt[None])
+                    mpi_j = jnp.asarray(pad_mpi(mpi)[None])
 
-                logvar = output.get('logvar')
-                valset.save_batch(
-                    output_dir, np.asarray(index)[None],
-                    np.asarray(output['mean']),
-                    None if logvar is None else np.asarray(logvar))
+                    output, lv, mse_j, bp_j = val_fwd(variables, *stacks,
+                                                      gt_j, mpi_j)
+                    loss_val_avg += float(lv)
+                    mse_avg += float(mse_j)
+                    bad_pix_avg += float(bp_j)
 
-            loss_val_avg /= n_scenes
-            mse_avg /= n_scenes
-            bad_pix_avg /= n_scenes
+                    logvar = output.get('logvar')
+                    valset.save_batch(
+                        output_dir, np.asarray(index)[None],
+                        np.asarray(output['mean']),
+                        None if logvar is None else np.asarray(logvar))
 
-            tree = {'params': state.params,
-                    'batch_stats': state.batch_stats,
-                    'opt_state': state.opt_state}
-            # real pass counter over the virtual-length dataset (the
-            # reference stores epoch=None here, train/cli.py:328)
-            epoch = i // max(1, len(trainset) // cfg.train_bs)
-            model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
-                        loss_val_avg)
+                loss_val_avg /= n_scenes
+                mse_avg /= n_scenes
+                bad_pix_avg /= n_scenes
 
-        line = (f'{i:>7}, {float(loss_train):.8f}, {loss_val_avg:.8f}, '
-                f'{mse_avg:.8f}, {bad_pix_avg:.8f}, {time_elap:.8f}')
-        if progress:
-            print(line)
-        print(line, file=log, flush=True)
+                tree = {'params': state.params,
+                        'batch_stats': state.batch_stats,
+                        'opt_state': state.opt_state}
+                # real pass counter over the virtual-length dataset (the
+                # reference stores epoch=None here, train/cli.py:328)
+                epoch = i // max(1, len(trainset) // cfg.train_bs)
+                model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
+                            loss_val_avg)
 
-        i += 1
-        time_start = time.time()
-        if cfg.train_steps and i >= cfg.train_steps:
-            break
+            line = (f'{i:>7}, {float(loss_train):.8f}, {loss_val_avg:.8f}, '
+                    f'{mse_avg:.8f}, {bad_pix_avg:.8f}, {time_elap:.8f}')
+            if progress:
+                print(line)
+            print(line, file=log, flush=True)
 
-    model_saver.close()   # drain the async checkpoint writer
-    log.close()
+            i += 1
+            time_start = time.time()
+            if cfg.train_steps and i >= cfg.train_steps:
+                break
+
+    finally:
+        # drain the async checkpoint writer even when the loop raises
+        # (e.g. the NaN guard) — the last enqueued checkpoint is the
+        # one wanted for the post-mortem
+        try:
+            model_saver.close()
+        finally:
+            log.close()
+            pipeline.close()
     return state

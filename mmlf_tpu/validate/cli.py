@@ -171,9 +171,8 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
             # like DPP when the cluster count matches the 108-bin report
             if output['posterior'].shape[-1] == n_bins:
                 dist = output['posterior']
-                w_inn = mpi_to_weights(mpi, cfg.val_disp_min,
-                                       cfg.val_disp_max, n_bins)
-                nll_eval = P.nll_discrete(w_inn, output['posterior'])
+                # dist_gt IS mpi_to_weights over the same n_bins grid
+                nll_eval = P.nll_discrete(dist_gt, output['posterior'])
             else:                       # e.g. --model_cross (54 clusters)
                 dist = P.laplace_to_discrete(n_bins, cfg.val_disp_min,
                                              cfg.val_disp_max,
@@ -234,6 +233,10 @@ def run_validation(output_dir, dataset, model_discrete=False,
         from ..models.inn import INN
         model = INN.from_config(cfg)
         kwargs['model_inn'] = True
+        if kwargs.get('model_discrete') or kwargs.get('val_ensamble'):
+            raise click.UsageError(
+                '--model_discrete/--val_ensamble do not apply to an INN '
+                'checkpoint (its posterior is already the cluster grid)')
     else:
         model = FeedForward.from_config(cfg)
     print('Number of parameters:', n_params(variables['params']))

@@ -24,34 +24,49 @@ def receptive_radius(ksize: int, in_blocks: int, out_blocks: int) -> int:
     return 2 * (in_blocks + out_blocks) * (ksize - 1)
 
 
+def _spatial_dims(shape, win_sz: int):
+    """Locate the (height, width) dim pair of a per-tile output: the first
+    adjacent ``(win_sz, win_sz)`` pair.  Handles ``(b, H, W, ...)`` heads,
+    the ensemble's member-major ``(K, b, H, W)`` stacks, and returns None
+    for outputs with no spatial extent (e.g. the INN's per-image ``jac`` or
+    ``mu``), which cannot be stitched and are dropped to None."""
+    for i in range(len(shape) - 1):
+        if shape[i] == win_sz and shape[i + 1] == win_sz:
+            return i
+    return None
+
+
 def tiled_forward(apply_fn, variables, stacks, tile: int, halo: int):
     """Run ``apply_fn`` over overlapping tiles and stitch the results.
 
-    :param apply_fn: ``fn(variables, h, v, i, d) -> output dict`` whose
-        array outputs are laid out ``(b, H, W)`` or ``(b, H, W, C)``
+    :param apply_fn: ``fn(variables, h, v, i, d) -> output dict``; array
+        outputs with a spatial ``(H, W)`` dim pair anywhere are stitched,
+        others come back as None
     :param stacks: four ``(b, n, H, W, 3)`` view stacks
     :param tile: interior tile size (output pixels per tile per axis)
     :param halo: overlap on each side; must be >= the receptive radius
     :returns: output dict stitched to full scene size
     """
     b, n, h, w, c = stacks[0].shape
+    win_sz = tile + 2 * halo
     ny = -(-h // tile)
     nx = -(-w // tile)
 
     outputs = None
+    sdim = {}
     for ty in range(ny):
         for tx in range(nx):
             y0 = ty * tile
             x0 = tx * tile
             # clamp the padded window inside the image; remember the offset
             # of the interior region within the window
-            wy0 = max(0, min(y0 - halo, h - tile - 2 * halo))
-            wx0 = max(0, min(x0 - halo, w - tile - 2 * halo))
+            wy0 = max(0, min(y0 - halo, h - win_sz))
+            wx0 = max(0, min(x0 - halo, w - win_sz))
             iy = y0 - wy0
             ix = x0 - wx0
 
-            win = [s[:, :, wy0:wy0 + tile + 2 * halo,
-                     wx0:wx0 + tile + 2 * halo] for s in stacks]
+            win = [s[:, :, wy0:wy0 + win_sz, wx0:wx0 + win_sz]
+                   for s in stacks]
             out = apply_fn(variables, *win)
 
             y1 = min(y0 + tile, h)
@@ -59,17 +74,23 @@ def tiled_forward(apply_fn, variables, stacks, tile: int, halo: int):
             if outputs is None:
                 outputs = {}
                 for k, v in out.items():
-                    if v is None:
+                    sdim[k] = None if v is None \
+                        else _spatial_dims(v.shape, win_sz)
+                    if v is None or sdim[k] is None:
                         outputs[k] = None
                     else:
-                        shape = (v.shape[0], h, w) + v.shape[3:]
+                        d = sdim[k]
+                        shape = v.shape[:d] + (h, w) + v.shape[d + 2:]
                         outputs[k] = np.zeros(shape, np.float32)
             for k, v in out.items():
-                if v is None:
+                if v is None or sdim[k] is None:
                     continue
-                patch = np.asarray(
-                    v[:, iy:iy + (y1 - y0), ix:ix + (x1 - x0)])
-                outputs[k][:, y0:y1, x0:x1] = patch
+                d = sdim[k]
+                idx_in = (slice(None),) * d + \
+                    (slice(iy, iy + (y1 - y0)), slice(ix, ix + (x1 - x0)))
+                idx_out = (slice(None),) * d + \
+                    (slice(y0, y1), slice(x0, x1))
+                outputs[k][idx_out] = np.asarray(v[idx_in])
     return outputs
 
 
@@ -106,14 +127,23 @@ def tiled_forward_device(apply_fn, variables, stacks, tile: int,
             pos.append((y0, x0, wy0, wx0, y0 - wy0, x0 - wx0))
     pos = jnp.asarray(pos, jnp.int32)
 
-    # probe output structure with one tile to allocate the buffers
+    # probe output structure with one tile to allocate the buffers; stitch
+    # every output with a spatial (win, win) dim pair wherever it sits —
+    # (b, H, W, ...) heads and the ensemble's (K, b, H, W) member stacks —
+    # and drop spatial-free outputs (e.g. the INN's per-image jac) to None
     probe = jax.eval_shape(
         lambda v, *s: apply_fn(v, *s), variables,
         *[jax.eval_shape(lambda x: x[:, :, :win_sz, :win_sz], s)
           for s in stacks])
-    buffers = {k: jnp.zeros((v.shape[0], h, w) + v.shape[3:], v.dtype)
-               for k, v in probe.items() if v is not None}
-    none_keys = [k for k, v in probe.items() if v is None]
+    sdim = {k: None if v is None else _spatial_dims(v.shape, win_sz)
+            for k, v in probe.items()}
+    buffers = {}
+    for k, v in probe.items():
+        if v is not None and sdim[k] is not None:
+            d = sdim[k]
+            buffers[k] = jnp.zeros(v.shape[:d] + (h, w) + v.shape[d + 2:],
+                                   v.dtype)
+    none_keys = [k for k in probe if k not in buffers]
 
     def body(bufs, p):
         y0, x0, wy0, wx0, iy, ix = p
@@ -123,11 +153,14 @@ def tiled_forward_device(apply_fn, variables, stacks, tile: int,
         out = apply_fn(variables, *win)
         for k in bufs:
             v = out[k]
-            starts = (0, iy, ix) + (0,) * (v.ndim - 3)
+            d = sdim[k]
+            zeros = lambda m: (jnp.int32(0),) * m
             patch = jax.lax.dynamic_slice(
-                v, starts, (v.shape[0], tile, tile) + v.shape[3:])
+                v, zeros(d) + (iy, ix) + zeros(v.ndim - d - 2),
+                v.shape[:d] + (tile, tile) + v.shape[d + 2:])
             bufs[k] = jax.lax.dynamic_update_slice(
-                bufs[k], patch, (0, y0, x0) + (0,) * (v.ndim - 3))
+                bufs[k], patch,
+                zeros(d) + (y0, x0) + zeros(v.ndim - d - 2))
         return bufs, None
 
     buffers, _ = jax.lax.scan(body, buffers, pos)

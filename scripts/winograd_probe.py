@@ -113,4 +113,3 @@ timeit(jax.jit(lambda ws, x: jax.grad(stack_ref)(ws, x)[0][0]), ws, x,
        name='direct x16 fwd+bwd', flops=3*fl)
 timeit(jax.jit(lambda ws, x: jax.grad(stack_wino)(ws, x)[0][0]), ws, x,
        name='winograd x16 fwd+bwd', flops=3*fl)
-EOF

@@ -154,3 +154,27 @@ def test_save_batch_layout(dataset_dir, tmp_path):
     from mmlf_tpu.utils import pfm
     gt_file = pfm.load(os.path.join(sdir, 'gt.pfm'))
     np.testing.assert_allclose(np.flip(gt_file, 0), ds[0][5], atol=1e-6)
+
+
+def test_synth_multilayer_depth_order():
+    """Occlusion must follow parallax: layers composite farthest-first
+    (ascending disparity), the background is the farthest plane, and GT at
+    any covered pixel is the NEAREST covering layer (code-review r2
+    finding: extras used to paint over nearer layers)."""
+    from mmlf_tpu.data.synth import make_scene
+
+    rng = np.random.default_rng(7)
+    # extras deliberately include one behind the background (must be
+    # dropped) and one between bg and fg (must composite before fg)
+    views, gt, mpi, _ = make_scene(rng, size=64, disp_bg=-1.0, disp_fg=1.5,
+                                   extra_disps=(-2.0, 0.3))
+    disps = mpi[:, 0, 0, 4]
+    assert disps[0] == -1.0                        # bg first
+    assert np.all(np.diff(disps) > 0)              # ascending = far->near
+    assert -2.0 not in disps                       # hidden layer dropped
+
+    # GT is the max-disparity covering layer everywhere
+    alpha = mpi[..., 3]
+    cover = alpha > 0
+    d_grid = np.where(cover, mpi[..., 4], -np.inf)
+    np.testing.assert_allclose(gt, d_grid.max(0))

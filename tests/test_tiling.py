@@ -116,3 +116,73 @@ def test_validate_cli_tile_flag(tmp_path):
     tiled = run_validation(out, data, val_tile=64)
     for k in ('mse', 'badpix', 'kld'):
         assert abs(full[k] - tiled[k]) < 1e-4, (k, full[k], tiled[k])
+
+
+def test_device_tiled_forward_ensemble_members():
+    """Ensemble outputs under tiling: member-major (K, b, H, W) stacks are
+    stitched on their own spatial dims (code-review r2 finding: --val_tile
+    with --val_ensamble crashed on the member axis)."""
+    from mmlf_tpu.models.ensemble import ensemble_forward
+    from mmlf_tpu.validate.tiling import (receptive_radius,
+                                          tiled_forward_device)
+
+    cfg = Config(model_chs=4, model_in_blocks=1, model_out_blocks=1,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(3)
+    stacks = [jnp.asarray(rng.random((1, 9, 96, 96, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+
+    ens = lambda v, *s: ensemble_forward(
+        lambda vv, *a: model.apply(vv, *a), v, *s,
+        disp_min=-0.3, disp_max=0.3, disp_step=0.2)
+
+    want = jax.jit(ens)(variables, *stacks)
+    halo = receptive_radius(2, 1, 1) + 2       # + ensemble shift reach
+    got = jax.jit(lambda v, *s: tiled_forward_device(
+        ens, v, s, 32, halo))(variables, *stacks)
+
+    assert got['means'].shape == np.asarray(want['means']).shape
+    # interior equality (the circular shift wraps inside the tile halo at
+    # tile borders instead of the image border — boundary-band deviation,
+    # same class the margin-15 mask excludes)
+    sl = (slice(None), slice(None), slice(8, -8), slice(8, -8))
+    np.testing.assert_allclose(np.asarray(got['means'])[sl],
+                               np.asarray(want['means'])[sl], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got['mean'])[:, 8:-8, 8:-8],
+        np.asarray(want['mean'])[:, 8:-8, 8:-8], atol=1e-4)
+
+
+def test_validate_cli_tile_flag_ensemble(tmp_path):
+    """--val_tile + --val_ensamble through the validate CLI (used to crash
+    before spatial-dim detection in the stitcher)."""
+    import os
+    import optax
+    from mmlf_tpu.data.synth import generate_dataset
+    from mmlf_tpu.train.checkpoint import save_checkpoint
+    from mmlf_tpu.train.loop import init_state
+    from mmlf_tpu.validate.cli import run_validation
+
+    data = str(tmp_path / 'data')
+    out = str(tmp_path / 'out')
+    os.makedirs(out)
+    generate_dataset(data, scenes=1, size=128, seed=0)
+
+    cfg = Config(model_chs=4, model_in_blocks=1, model_out_blocks=1,
+                 model_uncert=True, val_ensamble=True,
+                 val_disp_min=-0.3, val_disp_max=0.3,
+                 val_disp_step=0.2).finalize()
+    model = FeedForward.from_config(cfg)
+    tx = optax.scale_by_adam()
+    state = init_state(cfg, model, tx, [jnp.zeros((1, 9, 32, 32, 3))] * 4)
+    save_checkpoint(out, {'params': state.params,
+                          'batch_stats': state.batch_stats},
+                    cfg.to_dict(), None, 0, None)
+
+    m = run_validation(out, data, val_ensamble=True, val_tile=64,
+                       val_disp_min=-0.3, val_disp_max=0.3,
+                       val_disp_step=0.2)
+    for k in ('mse', 'badpix', 'kld', 'nll'):
+        assert np.isfinite(m[k]), k
