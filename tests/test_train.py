@@ -140,3 +140,35 @@ def test_grad_accumulation_matches_full_batch(tmp_path):
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-4)
+
+
+def test_model_saver_surfaces_async_write_errors(tmp_path, monkeypatch):
+    """A failed background checkpoint write must not kill the writer
+    silently: the error surfaces on the training thread at the next save
+    (code-review r2 finding)."""
+    import time as _time
+    import pytest
+    from mmlf_tpu.train import checkpoint as C
+
+    calls = {'n': 0}
+
+    def boom(*a, **k):
+        calls['n'] += 1
+        raise OSError('disk full')
+
+    monkeypatch.setattr(C, '_write_checkpoint', boom)
+    saver = C.ModelSaver()
+    saver(str(tmp_path), {'params': {}}, {}, 0, 1, 0.5)
+    for _ in range(100):                      # wait for the worker attempt
+        if calls['n']:
+            break
+        _time.sleep(0.05)
+    with pytest.raises(RuntimeError, match='async checkpoint write failed'):
+        for _ in range(100):
+            saver(str(tmp_path), {'params': {}}, {}, 0, 2, 0.4)
+            _time.sleep(0.02)
+
+    # the writer thread survived the failure and close() drains cleanly
+    monkeypatch.setattr(C, '_write_checkpoint', lambda *a, **k: None)
+    saver(str(tmp_path), {'params': {}}, {}, 0, 3, 0.3)
+    saver.close()
