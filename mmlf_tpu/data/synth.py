@@ -62,6 +62,21 @@ def _layer_alpha(rng: np.random.Generator, size: int) -> np.ndarray:
     return alpha
 
 
+def _feather(alpha: np.ndarray, width: int = 2) -> np.ndarray:
+    """Soften a binary occupancy mask with a small separable box blur so
+    layer edges get fractional coverage (like the HCI GT's edge mixels)."""
+    size = alpha.shape[0]
+    a = alpha
+    for axis in (0, 1):
+        pad = np.concatenate([np.take(a, [0] * width, axis), a,
+                              np.take(a, [-1] * width, axis)], axis)
+        cs = np.cumsum(pad, axis=axis, dtype=np.float32)
+        first = np.take(pad, range(0, size), axis)
+        a = (np.take(cs, range(2 * width, 2 * width + size), axis)
+             - np.take(cs, range(size), axis) + first) / (2 * width + 1)
+    return np.clip(a, 0.0, 1.0)
+
+
 def make_scene(rng: np.random.Generator, size: int = 128,
                disp_bg: float = -1.0, disp_fg: float = 1.0,
                nviews=(9, 9), extra_disps=()):
@@ -69,9 +84,19 @@ def make_scene(rng: np.random.Generator, size: int = 128,
 
     Layers: a full background plane at ``disp_bg``, a foreground layer at
     ``disp_fg``, plus one extra occluder per entry of ``extra_disps``
-    (farthest-first composited, each a random box/ellipse) — multi-layer
-    scenes approximate HCI-benchmark statistics better than two planes and
+    (each a random box/ellipse with feathered edges) — multi-layer scenes
+    approximate HCI-benchmark statistics better than two planes and
     populate more MPI modes per pixel.
+
+    The MPI alpha channel stores each plane's **visible compositing
+    weight** (front-to-back over-compositing: ``a_k · Π_nearer (1−a_j)``),
+    so per-pixel alpha sums are exactly 1 like the HCI GT's — NOT raw
+    occupancy.  This matters: the (reference-parity, unnormalized)
+    multimodal cross-entropy ``lse − Σ t·s`` is unbounded below whenever
+    the target weights sum past 1, so occupancy alphas make DPP training
+    diverge.  Multimodal pixels come from the feathered edges, where two
+    planes share fractional weight — the same mechanism as the benchmark's
+    edge mixels.
     """
     w, h = nviews
     # depth order: the full-coverage background must be the farthest layer
@@ -84,17 +109,23 @@ def make_scene(rng: np.random.Generator, size: int = 128,
     disps = [float(disp_bg)] + partial
     textures = [_texture(rng, size) for _ in disps]
     alphas = [np.ones((size, size), np.float32)] + \
-        [_layer_alpha(rng, size) for _ in disps[1:]]
+        [_feather(_layer_alpha(rng, size)) for _ in disps[1:]]
 
-    # farthest-first over-composite for gt + MPI
-    gt = np.full((size, size), disps[0], np.float32)
-    for d, a in zip(disps[1:], alphas[1:]):
-        gt = np.where(a > 0, np.float32(d), gt)
+    # front-to-back visibility: comp_k = a_k · Π_{j nearer} (1 − a_j)
+    comps = [np.zeros_like(a) for a in alphas]
+    trans = np.ones((size, size), np.float32)
+    for k in range(len(disps) - 1, -1, -1):          # nearest → farthest
+        comps[k] = alphas[k] * trans
+        trans = trans * (1.0 - alphas[k])
+
+    # GT disparity: the dominant (max-weight) plane per pixel
+    comp_stack = np.stack(comps)                      # (K, H, W)
+    gt = np.asarray(disps, np.float32)[comp_stack.argmax(0)]
 
     mpi = np.zeros((len(disps), size, size, 5), dtype=np.float32)
-    for k, (d, t, a) in enumerate(zip(disps, textures, alphas)):
+    for k, (d, t, c) in enumerate(zip(disps, textures, comps)):
         mpi[k, ..., :3] = t
-        mpi[k, ..., 3] = a
+        mpi[k, ..., 3] = c
         mpi[k, ..., 4] = d
 
     views = {}

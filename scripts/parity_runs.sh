@@ -55,7 +55,7 @@ val_one () {  # name, ckpt dir, extra flags...
 
 train_one base
 train_one upr --model_uncert
-train_one dpp --model_discrete --train_loss_multimodal
+train_one dpp --model_discrete --train_loss_multimodal --train_nan_guard
 
 val_one base base
 val_one upr  upr

@@ -157,10 +157,12 @@ def test_save_batch_layout(dataset_dir, tmp_path):
 
 
 def test_synth_multilayer_depth_order():
-    """Occlusion must follow parallax: layers composite farthest-first
-    (ascending disparity), the background is the farthest plane, and GT at
-    any covered pixel is the NEAREST covering layer (code-review r2
-    finding: extras used to paint over nearer layers)."""
+    """Occlusion must follow parallax and MPI alphas must be COMPOSITING
+    weights: planes sorted far->near, background farthest, per-pixel alpha
+    sums exactly 1 (occupancy alphas made the unbounded reference
+    multimodal CE diverge — code-review + DPP-divergence r2 findings), GT
+    is the dominant-weight plane, and feathered edges carry genuinely
+    multimodal pixels."""
     from mmlf_tpu.data.synth import make_scene
 
     rng = np.random.default_rng(7)
@@ -173,8 +175,12 @@ def test_synth_multilayer_depth_order():
     assert np.all(np.diff(disps) > 0)              # ascending = far->near
     assert -2.0 not in disps                       # hidden layer dropped
 
-    # GT is the max-disparity covering layer everywhere
     alpha = mpi[..., 3]
-    cover = alpha > 0
-    d_grid = np.where(cover, mpi[..., 4], -np.inf)
-    np.testing.assert_allclose(gt, d_grid.max(0))
+    np.testing.assert_allclose(alpha.sum(0), 1.0, atol=1e-5)
+    assert alpha.min() >= 0.0
+
+    # GT is the dominant plane everywhere
+    np.testing.assert_allclose(gt, disps[alpha.argmax(0)])
+
+    # feathered edges leave multimodal pixels (two planes sharing weight)
+    assert ((alpha > 0.3).sum(0) > 1).sum() > 10
