@@ -87,7 +87,14 @@ class OrientedConv(nn.Module):
         if orientation in ('t', 'tf'):
             kern = jnp.swapaxes(kern, 0, 1)
         if orientation == 'tf':
-            kern = jnp.flip(kern, axis=1)
+            # the reference transform is permute(H↔W) then flip the
+            # ORIGINAL-H axis (reference feed_forward.py:248-256); after the
+            # swap above, original-H is kernel axis 0.  (Flipping axis 1
+            # here conjugates by the OPPOSITE rotation — a bug that
+            # round-1's weight-scale-0.1 oracle tests could not see because
+            # the toy networks attenuated all input signal to ~1e-7;
+            # tests/test_model.py now guards input sensitivity.)
+            kern = jnp.flip(kern, axis=0)
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kern.astype(self.dtype),

@@ -65,10 +65,15 @@ def test_ensemble_vs_reference_oracle():
 
     cfg = Config(**SMALL, **GRID).finalize()
     tmodel = TorchFF(**cfg.to_dict())
+    # input-sensitive weights (kaiming convs) — 0.1-scale weights left the
+    # toy net input-dead and the comparison vacuous (see test_model.py)
     torch.manual_seed(0)
     with torch.no_grad():
         for p in tmodel.parameters():
-            p.copy_(torch.randn_like(p) * 0.1)
+            if p.ndim == 4:
+                torch.nn.init.kaiming_normal_(p)
+            else:
+                p.copy_(torch.randn_like(p) * 0.1)
     tmodel.eval()
     tens = TorchEns(tmodel, GRID['val_disp_min'], GRID['val_disp_max'],
                     GRID['val_disp_step'])

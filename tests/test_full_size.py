@@ -43,14 +43,22 @@ def _reference_model(cfg: Config):
     return model, torch
 
 
-def _randomize(tmodel, torch, scale=0.05):
-    """Random-but-fixed weights with nontrivial BN running stats."""
-    torch.manual_seed(0)
+def _randomize(tmodel, torch, seed=0):
+    """INPUT-SENSITIVE random weights (kaiming convs) with nontrivial BN
+    stats.  Round 1 used 0.05-scale weights, which attenuated all input
+    signal through the 11-layer trunk — the parity comparison then only
+    exercised the bias/BN pathway and missed an orientation-fold bug
+    (see tests/test_model.py::_randomize_live)."""
+    torch.manual_seed(seed)
     with torch.no_grad():
         for p in tmodel.parameters():
-            p.copy_(torch.randn_like(p) * scale)
+            if p.ndim == 4:
+                torch.nn.init.kaiming_normal_(p)
+            else:
+                p.copy_(torch.randn_like(p) * 0.1)
         for m in tmodel.modules():
             if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand_like(m.weight) * 0.5 + 0.75)
                 m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
                 m.running_var.copy_(torch.rand_like(m.running_var) * 0.5
                                     + 0.75)

@@ -106,6 +106,27 @@ def _reference_model(cfg: Config):
     return model, torch
 
 
+def _randomize_live(tmodel, torch, seed=0):
+    """Random weights that keep the net INPUT-SENSITIVE (kaiming-scale
+    convs).  Round 1 used uniform 0.1-scale weights — the toy nets then
+    attenuated all input signal to ~1e-7 and the parity tests only
+    exercised the bias/BN pathway, which let an orientation-folding bug
+    through (fixed in OrientedConv 'tf').  Sensitivity is asserted below."""
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.ndim == 4:
+                torch.nn.init.kaiming_normal_(p)
+            else:
+                p.copy_(torch.randn_like(p) * 0.1)
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand_like(m.weight) * 0.5 + 0.75)
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+
+
 @pytest.mark.parametrize('head', ['base', 'uncert', 'discrete'])
 def test_parity_with_reference_weights(head):
     """Convert reference-architecture weights and compare eval forwards."""
@@ -114,17 +135,7 @@ def test_parity_with_reference_weights(head):
     cfg = Config(model_uncert=(head == 'uncert'),
                  model_discrete=(head == 'discrete'), **SMALL).finalize()
     tmodel, torch = _reference_model(cfg)
-
-    # random-but-fixed weights; give BN nontrivial running stats
-    torch.manual_seed(0)
-    with torch.no_grad():
-        for p in tmodel.parameters():
-            p.copy_(torch.randn_like(p) * 0.1)
-        for m in tmodel.modules():
-            if isinstance(m, torch.nn.BatchNorm2d):
-                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
-                m.running_var.copy_(
-                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+    _randomize_live(tmodel, torch)
 
     variables = torch_state_to_flax(
         tmodel.state_dict(), in_blocks=cfg.model_in_blocks,
@@ -142,6 +153,15 @@ def test_parity_with_reference_weights(head):
 
     model = FeedForward.from_config(cfg)
     jout = model.apply(variables, *[jnp.asarray(s) for s in stacks_np])
+
+    # guard: the comparison is meaningless if the net ignores its inputs
+    # (see _randomize_live) — every stream must influence the output
+    for s in range(4):
+        z = [jnp.asarray(x) for x in stacks_np]
+        z[s] = jnp.zeros_like(z[s])
+        jz = model.apply(variables, *z)
+        assert float(jnp.abs(jz['mean'] - jout['mean']).max()) > 1e-3, \
+            f'stream {s} does not influence the output - dead parity test'
 
     np.testing.assert_allclose(np.asarray(jout['mean']),
                                tout['mean'].numpy(), atol=5e-4)
@@ -161,6 +181,69 @@ def test_parity_with_reference_weights(head):
         np.testing.assert_allclose(
             np.transpose(np.asarray(jout['posterior']), (0, 3, 1, 2)),
             tout['posterior'].numpy(), atol=2e-3)
+
+
+def test_stream_orientation_vs_reference_exact():
+    """OrientedConv kernel folds vs the reference's EXACT activation
+    transforms (feed_forward.py:236-256), torch as oracle, per stream —
+    at kaiming weight scale so nothing is attenuated away.  This is the
+    direct guard for the 'tf' fold bug the round-1 tests missed."""
+    torch = pytest.importorskip('torch')
+    from mmlf_tpu.models.feed_forward import StreamNet
+    from mmlf_tpu.utils.convert import torch_state_to_flax
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 10, 12, 9), dtype=np.float32)   # non-square H != W
+
+    # torch twin of one StreamNet (2 blocks) with shared-format keys
+    tseq = torch.nn.Sequential(*[torch.nn.Sequential(
+        torch.nn.Conv2d(9 if b == 0 else 6, 6, 2, padding=1),
+        torch.nn.ReLU(),
+        torch.nn.Conv2d(6, 6, 2, padding=0),
+        torch.nn.BatchNorm2d(6),
+        torch.nn.ReLU()) for b in range(2)])
+    torch.manual_seed(1)
+    with torch.no_grad():
+        for p in tseq.parameters():
+            if p.ndim == 4:
+                torch.nn.init.kaiming_normal_(p)
+            else:
+                p.copy_(torch.randn_like(p) * 0.1)
+    tseq.eval()
+    sd = {k: v.numpy() for k, v in tseq.state_dict().items()}
+
+    def conv_p(k):
+        return {'kernel': np.transpose(sd[f'{k}.weight'], (2, 3, 1, 0)),
+                'bias': sd[f'{k}.bias']}
+    params = {f'block{b}': {
+        'conv1': conv_p(f'{b}.0'), 'conv2': conv_p(f'{b}.2'),
+        'bn': {'scale': sd[f'{b}.3.weight'], 'bias': sd[f'{b}.3.bias']}}
+        for b in range(2)}
+    stats = {f'block{b}': {'bn': {'mean': sd[f'{b}.3.running_mean'],
+                                  'var': sd[f'{b}.3.running_var']}}
+             for b in range(2)}
+    variables = {'params': params, 'batch_stats': stats}
+
+    net = StreamNet(n_blocks=2, features=6, ksize=2, use_bn=True,
+                    bn_momentum=0.1)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+
+    with torch.no_grad():
+        # 'n': identity
+        want_n = tseq(tx).numpy()
+        # 't': the reference h-stream — permute in, permute out
+        want_t = tseq(tx.permute(0, 1, 3, 2)).permute(0, 1, 3, 2).numpy()
+        # 'tf': the reference i-stream — permute + flip(-1) in,
+        # flip(-1) + permute out
+        ti = torch.flip(tx.permute(0, 1, 3, 2), (-1,))
+        want_tf = torch.flip(tseq(ti), (-1,)).permute(0, 1, 3, 2).numpy()
+
+    for orient, want in (('n', want_n), ('t', want_t), ('tf', want_tf)):
+        got = np.asarray(net.apply(variables, jnp.asarray(x), False, orient))
+        np.testing.assert_allclose(
+            np.transpose(got, (0, 3, 1, 2)), want, atol=2e-4,
+            err_msg=f'orientation {orient!r} fold diverges from the '
+                    f'reference activation transform')
 
 
 def test_flax_to_torch_roundtrip():
