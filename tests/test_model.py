@@ -299,16 +299,7 @@ def test_unet_parity_with_reference_weights():
 
     cfg = Config(model_unet=True, model_uncert=True, **SMALL).finalize()
     tmodel, torch = _reference_model(cfg)
-
-    torch.manual_seed(0)
-    with torch.no_grad():
-        for p in tmodel.parameters():
-            p.copy_(torch.randn_like(p) * 0.05)
-        for m in tmodel.modules():
-            if isinstance(m, torch.nn.BatchNorm2d):
-                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
-                m.running_var.copy_(
-                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+    _randomize_live(tmodel, torch)
 
     variables = torch_state_to_flax(
         tmodel.state_dict(), in_blocks=cfg.model_in_blocks,
@@ -327,10 +318,16 @@ def test_unet_parity_with_reference_weights():
     model = FeedForward.from_config(cfg)
     jout = model.apply(variables, *[jnp.asarray(s) for s in stacks_np])
 
+    # input-sensitivity guard (dead-net oracle trap, see _randomize_live)
+    z = [jnp.asarray(s) for s in stacks_np]
+    z[0] = jnp.zeros_like(z[0])
+    jz = model.apply(variables, *z)
+    assert float(jnp.abs(jz['mean'] - jout['mean']).max()) > 1e-3
+
     np.testing.assert_allclose(np.asarray(jout['mean']),
-                               tout['mean'].numpy(), atol=1e-3)
+                               tout['mean'].numpy(), atol=2e-3)
     np.testing.assert_allclose(np.asarray(jout['logvar']),
-                               tout['logvar'].numpy(), atol=1e-3)
+                               tout['logvar'].numpy(), atol=2e-3)
 
 
 def test_unet_out_net():
