@@ -180,8 +180,11 @@ def generate_dataset(root: str, scenes: int = 4, size: int = 128,
         # extras live strictly in front of the background (make_scene drops
         # anything behind it — a hidden plane would put GT modes in the MPI
         # that no view can see)
-        extra = [float(rng.uniform(disp_bg - disp_center + 0.05,
-                                   disp_range)) + disp_center
+        # clamp the low bound: for tiny disp_range it could exceed the high
+        # bound and np.random.uniform would silently sample a REVERSED
+        # interval, producing extras behind the background (ADVICE r2)
+        extra_lo = min(disp_bg - disp_center + 0.05, disp_range)
+        extra = [float(rng.uniform(extra_lo, disp_range)) + disp_center
                  for _ in range(max(0, layers - 2))]
         views, gt, mpi, _ = make_scene(rng, size, disp_bg, disp_fg,
                                        extra_disps=extra)

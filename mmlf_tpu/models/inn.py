@@ -120,7 +120,10 @@ class AIOCouplingBlock(nn.Module):
                 g = jax.random.normal(rng, (c, c))
                 q, r = jnp.linalg.qr(g)
                 q = q * jnp.sign(jnp.diag(r))          # unique Q
-                q = q * jnp.linalg.det(q)              # det +1 (rotation)
+                # force det +1 (rotation, like scipy's special_ortho_group)
+                # by negating ONE column when det is -1 — scaling the whole
+                # matrix by det only works for odd c (ADVICE r2)
+                q = q.at[:, 0].multiply(jnp.linalg.det(q))
                 return q.astype(jnp.float32)
             p = jax.random.permutation(rng, c)
             return jnp.eye(c, dtype=jnp.float32)[p]

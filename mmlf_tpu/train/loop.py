@@ -22,6 +22,7 @@ counter, so resume needs no optimizer-LR surgery.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 from typing import Any
@@ -428,9 +429,18 @@ def train(cfg: Config, output_dir: str,
     finally:
         # drain the async checkpoint writer even when the loop raises
         # (e.g. the NaN guard) — the last enqueued checkpoint is the
-        # one wanted for the post-mortem
+        # one wanted for the post-mortem.  When an exception is ALREADY
+        # propagating, a pending async-write error from close() must not
+        # replace it as the visible root cause (ADVICE r2) — log it and
+        # let the original exception continue.
+        in_flight = sys.exc_info()[0] is not None
         try:
             model_saver.close()
+        except Exception as exc:
+            if not in_flight:
+                raise
+            print(f'checkpoint writer failed during shutdown: {exc!r}',
+                  file=sys.stderr)
         finally:
             log.close()
             pipeline.close()

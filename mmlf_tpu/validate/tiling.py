@@ -24,16 +24,47 @@ def receptive_radius(ksize: int, in_blocks: int, out_blocks: int) -> int:
     return 2 * (in_blocks + out_blocks) * (ksize - 1)
 
 
-def _spatial_dims(shape, win_sz: int):
+def _spatial_dims(shape, win_sz: int, shape2=None, win2: int = None):
     """Locate the (height, width) dim pair of a per-tile output: the first
     adjacent ``(win_sz, win_sz)`` pair.  Handles ``(b, H, W, ...)`` heads,
     the ensemble's member-major ``(K, b, H, W)`` stacks, and returns None
     for outputs with no spatial extent (e.g. the INN's per-image ``jac`` or
-    ``mu``), which cannot be stitched and are dropped to None."""
+    ``mu``), which cannot be stitched and are dropped to None.
+
+    A constant-size output can coincidentally match ``(win_sz, win_sz)``
+    (e.g. the INN's ``mu`` is ``(1, 108, 108)`` and the default INN tile
+    window is 64 + 2*22 = 108); when the same output's shape at a SECOND
+    window size ``win2`` is supplied, the pair must track the window size
+    at both probes to count as spatial."""
     for i in range(len(shape) - 1):
         if shape[i] == win_sz and shape[i + 1] == win_sz:
+            if shape2 is not None and not (
+                    shape2[i] == win2 and shape2[i + 1] == win2):
+                continue
             return i
     return None
+
+
+def _probe_spatial_dims(apply_fn, variables, stacks, win_sz: int):
+    """Map output key -> spatial dim index (or None) by abstract evaluation
+    at TWO window sizes, so constant-size outputs that merely coincide with
+    the window size are never misdetected as spatial."""
+    import jax
+
+    def shapes_at(sz):
+        out = jax.eval_shape(
+            lambda v, *s: apply_fn(v, *s), variables,
+            *[jax.eval_shape(lambda x: x[:, :, :sz, :sz], s)
+              for s in stacks])
+        return {k: None if v is None else v for k, v in out.items()}
+
+    win2 = win_sz - 8 if win_sz > 8 else win_sz + 8
+    probe = shapes_at(win_sz)
+    probe2 = shapes_at(win2)
+    sdim = {k: None if v is None else
+            _spatial_dims(v.shape, win_sz, probe2[k].shape, win2)
+            for k, v in probe.items()}
+    return probe, sdim
 
 
 def tiled_forward(apply_fn, variables, stacks, tile: int, halo: int):
@@ -49,11 +80,13 @@ def tiled_forward(apply_fn, variables, stacks, tile: int, halo: int):
     """
     b, n, h, w, c = stacks[0].shape
     win_sz = tile + 2 * halo
+    assert h >= win_sz and w >= win_sz, \
+        f'scene {h}x{w} smaller than tile window {win_sz}; lower the tile'
     ny = -(-h // tile)
     nx = -(-w // tile)
 
     outputs = None
-    sdim = {}
+    _, sdim = _probe_spatial_dims(apply_fn, variables, stacks, win_sz)
     for ty in range(ny):
         for tx in range(nx):
             y0 = ty * tile
@@ -74,8 +107,6 @@ def tiled_forward(apply_fn, variables, stacks, tile: int, halo: int):
             if outputs is None:
                 outputs = {}
                 for k, v in out.items():
-                    sdim[k] = None if v is None \
-                        else _spatial_dims(v.shape, win_sz)
                     if v is None or sdim[k] is None:
                         outputs[k] = None
                     else:
@@ -131,12 +162,7 @@ def tiled_forward_device(apply_fn, variables, stacks, tile: int,
     # every output with a spatial (win, win) dim pair wherever it sits —
     # (b, H, W, ...) heads and the ensemble's (K, b, H, W) member stacks —
     # and drop spatial-free outputs (e.g. the INN's per-image jac) to None
-    probe = jax.eval_shape(
-        lambda v, *s: apply_fn(v, *s), variables,
-        *[jax.eval_shape(lambda x: x[:, :, :win_sz, :win_sz], s)
-          for s in stacks])
-    sdim = {k: None if v is None else _spatial_dims(v.shape, win_sz)
-            for k, v in probe.items()}
+    probe, sdim = _probe_spatial_dims(apply_fn, variables, stacks, win_sz)
     buffers = {}
     for k, v in probe.items():
         if v is not None and sdim[k] is not None:
