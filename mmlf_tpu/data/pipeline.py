@@ -232,7 +232,12 @@ class TrainPipeline:
         if batch_size > 1:
             from concurrent.futures import ThreadPoolExecutor
             if self._pool is None:
-                self._pool = ThreadPoolExecutor(max_workers=8)
+                # honor --train_num_workers like the reference's DataLoader
+                # (train/cli.py:97-100); threads not processes, because the
+                # C++ window cutter releases the GIL
+                workers = max(1, int(getattr(self.cfg, 'train_num_workers',
+                                             4) or 4))
+                self._pool = ThreadPoolExecutor(max_workers=workers)
                 import weakref
                 weakref.finalize(self, self._pool.shutdown, wait=False)
             results = list(self._pool.map(cut, draws))

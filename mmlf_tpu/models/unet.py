@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.batchnorm import FusedBatchNorm
+
 
 class UNetConvBlock(nn.Module):
     features: int
@@ -28,8 +30,13 @@ class UNetConvBlock(nn.Module):
                         dtype=self.dtype, name=f'conv{i}')(x)
             x = nn.relu(x)
             if self.batch_norm:
-                x = nn.BatchNorm(use_running_average=not train,
-                                 dtype=jnp.float32, name=f'bn{i}')(x)
+                # same traffic-lean BN as the conv trunk (one fp32 stats
+                # pass + one fused bf16 affine); variable tree matches
+                # nn.BatchNorm so converted checkpoints are unaffected.
+                # momentum 0.9 = torch's default 0.1 (the reference U-Net
+                # uses torch defaults, mmlf/model/unet.py:24-30)
+                x = FusedBatchNorm(momentum=0.9, name=f'bn{i}')(
+                    x, use_running_average=not train)
         return x
 
 

@@ -35,7 +35,7 @@ from .loop import train
 @click.option('--train_trainset', default='../lf-dataset/additional', help='Location of training dataset')
 @click.option('--train_valset', default='../lf-dataset/training', help='Location of validation dataset')
 @click.option('--train_no_data_augment', is_flag=True, help='Don\'t use any data augmentation?')
-@click.option('--train_num_workers', default=4, help='Number of workers for data loader')
+@click.option('--train_num_workers', default=4, help='Number of workers for data loader (host-pipeline window-cutter threads; the default device-cache path does its windowing on-chip and ignores this)')
 @click.option('--train_lr', default=1e-5, help='Learning rate')
 @click.option('--train_bs', default=1, help='Batch size')
 @click.option('--train_ps', default=32, help='Size of training patches')

@@ -150,6 +150,52 @@ def _deconv(flax_conv: dict) -> tuple:
     return np.ascontiguousarray(k), np.asarray(flax_conv['bias'])
 
 
+def _deconv_transpose(flax_conv: dict) -> tuple:
+    """flax ConvTranspose HWIO → torch ConvTranspose2d (in, out, kH, kW).
+
+    Exact inverse of :func:`_conv_transpose` (the (2,3,0,1) permutation is
+    an involution; unflip the spatial taps first)."""
+    k = np.asarray(flax_conv['kernel'])[::-1, ::-1]
+    k = np.transpose(k, (2, 3, 0, 1))
+    return np.ascontiguousarray(k), np.asarray(flax_conv['bias'])
+
+
+def _export_unet(params: dict, stats: dict, prefix: str,
+                 sd: Dict[str, np.ndarray], depth: int = 5) -> None:
+    """Inverse of :func:`_convert_unet`: write our U-Net out-net variables
+    into a reference-format torch state dict (reference mmlf/model/unet.py
+    Sequential layout: 0=Conv, 2=BatchNorm, 3=Conv, 5=BatchNorm)."""
+
+    def export_block(p: dict, s: dict, tpfx: str) -> None:
+        for flax_c, flax_b, ti_c, ti_b in (('conv0', 'bn0', 0, 2),
+                                           ('conv1', 'bn1', 3, 5)):
+            w, bias = _deconv(p[flax_c])
+            sd[f'{tpfx}.{ti_c}.weight'] = w
+            sd[f'{tpfx}.{ti_c}.bias'] = bias
+            sd[f'{tpfx}.{ti_b}.weight'] = np.asarray(p[flax_b]['scale'])
+            sd[f'{tpfx}.{ti_b}.bias'] = np.asarray(p[flax_b]['bias'])
+            sd[f'{tpfx}.{ti_b}.running_mean'] = np.asarray(
+                s[flax_b]['mean'])
+            sd[f'{tpfx}.{ti_b}.running_var'] = np.asarray(s[flax_b]['var'])
+            sd[f'{tpfx}.{ti_b}.num_batches_tracked'] = np.asarray(
+                0, dtype=np.int64)
+
+    for i in range(depth):
+        export_block(params[f'down{i}'], stats[f'down{i}'],
+                     f'{prefix}down_path.{i}.block')
+    for j in range(depth - 1):
+        i = depth - 2 - j
+        w, bias = _deconv_transpose(params[f'up{i}']['up'])
+        sd[f'{prefix}up_path.{j}.up.weight'] = w
+        sd[f'{prefix}up_path.{j}.up.bias'] = bias
+        export_block(params[f'up{i}']['conv_block'],
+                     stats[f'up{i}']['conv_block'],
+                     f'{prefix}up_path.{j}.conv_block.block')
+    w, bias = _deconv(params['last'])
+    sd[f'{prefix}last.weight'] = w
+    sd[f'{prefix}last.bias'] = bias
+
+
 def flax_to_torch_state(variables: dict, *, in_blocks: int, out_blocks: int,
                         no_batchnorm: bool = False,
                         cross: bool = False) -> Dict[str, np.ndarray]:
@@ -160,10 +206,7 @@ def flax_to_torch_state(variables: dict, *, in_blocks: int, out_blocks: int,
     """
     params = variables['params']
     stats = variables.get('batch_stats', {})
-    if 'down0' in params.get('out_net', {}):
-        raise NotImplementedError(
-            'U-Net out-net export to torch is not supported (conv-trunk '
-            'checkpoints only)')
+    unet = 'down0' in params.get('out_net', {})
     sd: Dict[str, np.ndarray] = {}
 
     def export_net(flax_name: str, torch_prefix: str, n_blocks: int,
@@ -195,7 +238,10 @@ def flax_to_torch_state(variables: dict, *, in_blocks: int, out_blocks: int,
     if not cross:
         export_net('in_net_id', 'in_net_id', in_blocks,
                    last_has_bn_relu=True)
-    export_net('out_net', 'out_net', out_blocks, last_has_bn_relu=False)
+    if unet:
+        _export_unet(params['out_net'], stats['out_net'], 'out_net.', sd)
+    else:
+        export_net('out_net', 'out_net', out_blocks, last_has_bn_relu=False)
     return sd
 
 

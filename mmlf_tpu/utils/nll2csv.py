@@ -26,12 +26,12 @@ def main(input, output, x, y, start, stop):
     nll = nll[:, y, x]
     lh = np.exp(-nll)
 
-    classes = nll.shape[0]
+    # bin index -> disparity on the [start, stop) grid (no stop endpoint:
+    # reference parity), one CSV row per class
+    disp = np.arange(nll.shape[0]) / nll.shape[0] * (stop - start) + start
     with open(output, 'w') as f:
         f.write('disparity, likelihood\n')
-        for i in range(classes):
-            disp = float(i) / float(classes) * (stop - start) + start
-            f.write(f'{disp}, {lh[i]}\n')
+        f.writelines(f'{d}, {l}\n' for d, l in zip(disp, lh))
 
 
 if __name__ == '__main__':
