@@ -125,29 +125,23 @@ def tiled_forward(apply_fn, variables, stacks, tile: int, halo: int):
     return outputs
 
 
-def tiled_forward_device(apply_fn, variables, stacks, tile: int,
-                         halo: int):
-    """Device-side tiled forward: ONE jittable program, no host round trips.
+def tile_positions(h: int, w: int, tile: int, halo: int,
+                   pad_to: int = None) -> np.ndarray:
+    """Tile origin table for a true scene of ``h × w``.
 
-    A ``lax.scan`` over precomputed tile positions runs the per-tile
-    forward and stitches interior regions into full-scene buffers with
-    ``dynamic_update_slice`` — the per-tile program compiles once inside
-    the scan regardless of scene size (round 1 stitched on the host with a
-    D2H transfer per tile; VERDICT r1 item 7).
-
-    Edge tiles are handled by clamping the tile origin to ``H - tile`` —
-    overlapping interior writes rewrite identical values because tiling
-    with a sufficient halo is exact.
+    Rows are ``(y0, x0, wy0, wx0, iy, ix)``: interior-tile origin, window
+    origin (clamped so the whole halo window stays inside the TRUE scene),
+    and the interior offset within the window.  With ``pad_to`` the table
+    is grown to exactly that many rows by repeating the last row —
+    duplicate tiles rewrite identical values (tiling with a sufficient
+    halo is exact), which lets one compiled program with a static scan
+    length serve any true size on a shared canvas (VERDICT r2 item 8).
     """
-    import jax.numpy as jnp
-
-    b, n, h, w, c = stacks[0].shape
     win_sz = tile + 2 * halo
     assert h >= win_sz and w >= win_sz, \
         f'scene {h}x{w} smaller than tile window {win_sz}; lower --val_tile'
     ny = -(-h // tile)
     nx = -(-w // tile)
-
     pos = []
     for ty in range(ny):
         for tx in range(nx):
@@ -156,6 +150,38 @@ def tiled_forward_device(apply_fn, variables, stacks, tile: int,
             wy0 = max(0, min(y0 - halo, h - win_sz))
             wx0 = max(0, min(x0 - halo, w - win_sz))
             pos.append((y0, x0, wy0, wx0, y0 - wy0, x0 - wx0))
+    if pad_to is not None:
+        assert pad_to >= len(pos), (pad_to, len(pos))
+        pos += [pos[-1]] * (pad_to - len(pos))
+    return np.asarray(pos, np.int32)
+
+
+def tiled_forward_device(apply_fn, variables, stacks, tile: int,
+                         halo: int, pos=None):
+    """Device-side tiled forward: ONE jittable program, no host round trips.
+
+    A ``lax.scan`` over tile positions runs the per-tile forward and
+    stitches interior regions into full-scene buffers with
+    ``dynamic_update_slice`` — the per-tile program compiles once inside
+    the scan regardless of scene size (round 1 stitched on the host with a
+    D2H transfer per tile; VERDICT r1 item 7).
+
+    Edge tiles are handled by clamping the tile origin to ``H - tile`` —
+    overlapping interior writes rewrite identical values because tiling
+    with a sufficient halo is exact.
+
+    ``pos`` (optional) supplies the position table explicitly — it may be
+    a TRACED array, so a jit of this function recompiles only per
+    ``stacks`` canvas shape, not per true scene size: pad the stacks to a
+    canonical tile multiple, pass ``tile_positions(true_h, true_w, ...,
+    pad_to=canvas_tiles)``, and crop the result (validate/cli.py does).
+    """
+    import jax.numpy as jnp
+
+    b, n, h, w, c = stacks[0].shape
+    win_sz = tile + 2 * halo
+    if pos is None:
+        pos = tile_positions(h, w, tile, halo)
     pos = jnp.asarray(pos, jnp.int32)
 
     # probe output structure with one tile to allocate the buffers; stitch
@@ -192,6 +218,27 @@ def tiled_forward_device(apply_fn, variables, stacks, tile: int,
     buffers, _ = jax.lax.scan(body, buffers, pos)
     buffers.update({k: None for k in none_keys})
     return buffers
+
+
+def probe_sdim(apply_fn, variables, stacks, tile: int, halo: int) -> dict:
+    """Output-key → spatial-dim-index map (see ``_probe_spatial_dims``),
+    for cropping canvas-padded tiled outputs back to the true size."""
+    _, sdim = _probe_spatial_dims(apply_fn, variables, stacks,
+                                  tile + 2 * halo)
+    return sdim
+
+
+def crop_outputs(output: dict, sdim: dict, h: int, w: int) -> dict:
+    """Crop every stitched output's spatial dims to the true ``h × w``."""
+    out = {}
+    for k, v in output.items():
+        d = sdim.get(k)
+        if v is None or d is None:
+            out[k] = v
+        else:
+            idx = (slice(None),) * d + (slice(0, h), slice(0, w))
+            out[k] = v[idx]
+    return out
 
 
 def make_tiled_forward(model, tile: int = 256, halo: int = None):

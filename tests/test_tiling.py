@@ -186,3 +186,55 @@ def test_validate_cli_tile_flag_ensemble(tmp_path):
                        val_disp_step=0.2)
     for k in ('mse', 'badpix', 'kld', 'nll'):
         assert np.isfinite(m[k]), k
+
+
+def test_canonical_canvas_positions_exact():
+    """Canvas-padded tiled forward with a traced position table is exactly
+    the direct forward on the true scene (VERDICT r2 item 8: one compiled
+    program per canonical canvas, positions passed as a jit argument)."""
+    from mmlf_tpu.validate.tiling import (crop_outputs, probe_sdim,
+                                          tile_positions,
+                                          tiled_forward_device)
+
+    cfg = Config(model_chs=4, model_in_blocks=1, model_out_blocks=1,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    halo = receptive_radius(2, 1, 1)
+    tile = 32
+    rng = np.random.default_rng(5)
+
+    apply_fn = lambda v, *s: model.apply(v, *s)
+    fwd = jax.jit(lambda v, s0, s1, s2, s3, pos: tiled_forward_device(
+        apply_fn, v, (s0, s1, s2, s3), tile, halo, pos=pos))
+
+    variables = None
+    compiled = []
+    # two different TRUE sizes sharing the 96x128 canvas
+    for ht, wt in ((90, 110), (96, 128)):
+        hc = -(-ht // tile) * tile
+        wc = -(-wt // tile) * tile
+        assert (hc, wc) == (96, 128)
+        stacks = [jnp.asarray(rng.random((1, 9, ht, wt, 3),
+                                         dtype=np.float32))
+                  for _ in range(4)]
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), *stacks)
+        full = model.apply(variables, *stacks)
+
+        pads = [(0, 0), (0, 0), (0, hc - ht), (0, wc - wt), (0, 0)]
+        padded = [jnp.pad(s, pads) for s in stacks]
+        pos = tile_positions(ht, wt, tile, halo,
+                             pad_to=(hc // tile) * (wc // tile))
+        out = fwd(variables, *padded, jnp.asarray(pos))
+        sdim = probe_sdim(apply_fn, variables, padded, tile, halo)
+        out = crop_outputs(out, sdim, ht, wt)
+
+        np.testing.assert_allclose(np.asarray(out['mean']),
+                                   np.asarray(full['mean']), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out['logvar']),
+                                   np.asarray(full['logvar']), atol=1e-5)
+        compiled.append(fwd._cache_size() if hasattr(fwd, '_cache_size')
+                        else None)
+    # same canvas -> the jitted tiled forward compiled exactly once
+    if compiled[-1] is not None:
+        assert compiled[-1] == 1
