@@ -439,7 +439,7 @@ def build_device_cache(scenes, max_f: int = 4, sharding=None,
 
 
 def gather_windows(cache: PackedCache, batch: DeviceBatch,
-                   win: int) -> Batch:
+                   win: int, mesh=None) -> Batch:
     """Extract per-sample windows from the packed pyramid (inside jit) and
     unpack them into the reference's stack layout.
 
@@ -452,7 +452,7 @@ def gather_windows(cache: PackedCache, batch: DeviceBatch,
 
     img, aux, mpi = window_gather(
         cache.img, cache.aux, cache.mpi, batch.scene, batch.factor - 1,
-        batch.ws_y, batch.ws_x, win)
+        batch.ws_y, batch.ws_x, win, mesh=mesh)
 
     b = img.shape[0]
     n3 = cache.views * 3
@@ -473,7 +473,7 @@ def gather_windows(cache: PackedCache, batch: DeviceBatch,
 
 
 def gather_augment(cache: PackedCache, batch: DeviceBatch, ps: int,
-                   win: int, with_mpi: bool = True):
+                   win: int, with_mpi: bool = True, mesh=None):
     """Fused TPU input path: Pallas DMA window gather + matmul-domain
     augmentation, straight from the packed pyramid to model-ready stacks.
 
@@ -489,7 +489,7 @@ def gather_augment(cache: PackedCache, batch: DeviceBatch, ps: int,
 
     img, aux, mpi = window_gather(
         cache.img, cache.aux, cache.mpi, batch.scene, batch.factor - 1,
-        batch.ws_y, batch.ws_x, win, with_mpi=with_mpi)
+        batch.ws_y, batch.ws_x, win, with_mpi=with_mpi, mesh=mesh)
     h, v, i, d = augment_packed(img, batch.aug, ps, cache.views)
     gt, mpi, mask = augment_targets(aux, mpi, batch.aug, ps, MAX_PLANES,
                                     with_mpi)

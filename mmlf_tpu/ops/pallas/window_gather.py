@@ -180,17 +180,60 @@ def xla_window_gather(img_levels, aux_levels, mpi_levels,
     return out[0], out[1], None
 
 
+def sharded_window_gather(img_levels, aux_levels, mpi_levels,
+                          scene, level, ws_y, ws_x, win: int,
+                          with_mpi: bool = True, mesh=None,
+                          interpret: bool = False):
+    """Pallas DMA gather on EVERY device of a data mesh (VERDICT r2 item 4).
+
+    The packed pyramid is replicated across the mesh (train/loop.py), the
+    per-sample index vectors are sharded on ``'data'`` — so each device
+    runs the DMA kernel on its local batch shard against its own replica
+    of the cache: ``shard_map`` with replicated cache specs, sharded index
+    specs.  Numerically identical to the global gather because samples are
+    independent.  ``interpret=True`` runs the kernel in interpreter mode
+    (the virtual CPU mesh of tests/dryrun).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    shd = P('data')
+
+    def local(img_l, aux_l, mpi_l, s, l, wy, wx):
+        out = pallas_window_gather(img_l, aux_l, mpi_l, s, l, wy, wx,
+                                   win, with_mpi=with_mpi,
+                                   interpret=interpret)
+        return out if with_mpi else (out[0], out[1])
+
+    out_specs = (shd, shd, shd) if with_mpi else (shd, shd)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(rep, rep, rep, shd, shd, shd, shd),
+                   out_specs=out_specs, check_vma=False)
+    out = fn(tuple(img_levels), tuple(aux_levels),
+             tuple(mpi_levels) if mpi_levels is not None else (),
+             scene, level, ws_y, ws_x)
+    if with_mpi:
+        return out
+    return out[0], out[1], None
+
+
 def window_gather(img_levels, aux_levels, mpi_levels,
                   scene, level, ws_y, ws_x, win: int,
-                  with_mpi: bool = True):
-    """Dispatch: Pallas DMA on a single TPU chip, XLA fallback elsewhere.
+                  with_mpi: bool = True, mesh=None):
+    """Dispatch: Pallas DMA on TPU (shard_mapped per device when a multi-
+    device ``mesh`` is supplied), XLA fallback elsewhere.
 
-    (On a multi-device mesh the XLA path is used so the SPMD partitioner
-    can shard the batch axis; the Pallas kernel has no partitioning rule.)
     ``with_mpi=False`` skips the MPI field entirely — losses that never
     read it (the flagship UPR recipe) save its DMA + rotation cost.
     """
-    if jax.default_backend() == 'tpu' and jax.device_count() == 1:
+    on_tpu = jax.default_backend() == 'tpu'
+    if mesh is not None and mesh.devices.size > 1:
+        return sharded_window_gather(img_levels, aux_levels, mpi_levels,
+                                     scene, level, ws_y, ws_x, win,
+                                     with_mpi=with_mpi, mesh=mesh,
+                                     interpret=not on_tpu)
+    if on_tpu and jax.device_count() == 1:
         return pallas_window_gather(img_levels, aux_levels, mpi_levels,
                                     scene, level, ws_y, ws_x, win,
                                     with_mpi=with_mpi)

@@ -126,7 +126,8 @@ def prepare_targets(cfg: Config, gt, mpi, mask):
 
 
 def make_train_step(cfg: Config, model: FeedForward, tx,
-                    bn_train: bool = True, use_cache: bool = False):
+                    bn_train: bool = True, use_cache: bool = False,
+                    mesh=None):
     """Build the jitted train step (augment + fwd + bwd + Adam in one XLA
     program).  ``bn_train=False`` gives the ``--train_eval_mode`` variant
     (BN uses running stats, no stat updates).
@@ -147,7 +148,7 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
         if use_cache:
             h, v, i, d, gt, mpi, mask = gather_augment(
                 cache, batch, cfg.train_ps, window_size(cfg.train_ps),
-                with_mpi=with_mpi)
+                with_mpi=with_mpi, mesh=mesh)
         else:
             h, v, i, d, gt, mpi, mask = augment_batch(batch, cfg.train_ps)
         gt, mpi, gt_classes, mask, mask_padding = prepare_targets(
@@ -331,7 +332,7 @@ def train(cfg: Config, output_dir: str,
         b_shard = batch_sharding(mesh)
 
     step_train = make_train_step(cfg, model, tx, bn_train=True,
-                                 use_cache=cache is not None)
+                                 use_cache=cache is not None, mesh=mesh)
     step_eval = None   # built lazily for --train_eval_mode
 
     val_fwd = make_val_forward(cfg, model)

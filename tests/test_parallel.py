@@ -182,3 +182,39 @@ def test_validate_cli_mesh_space(data_dirs, tmp_path):
     # kld tolerance: sharded reductions reassociate the fp32 sums
     for k, tol in (('mse', 1e-4), ('badpix', 1e-4), ('kld', 2e-3)):
         assert abs(single[k] - sharded[k]) < tol, (k, single[k], sharded[k])
+
+
+def test_sharded_pallas_gather_matches_xla(data_dirs):
+    """The shard_mapped Pallas DMA gather (interpret mode on the CPU mesh)
+    must bit-match the XLA fallback gather for the same batch (VERDICT r2
+    item 4: the flagship input path now runs per-device on a mesh)."""
+    from mmlf_tpu.data.hci4d import HCI4D
+    from mmlf_tpu.data.pipeline import DevicePipeline, window_size
+    from mmlf_tpu.ops.pallas.window_gather import (sharded_window_gather,
+                                                   xla_window_gather)
+
+    train_dir, _ = data_dirs
+    cfg = Config(train_trainset=train_dir, train_bs=16, train_ps=32,
+                 train_max_downscale=1).finalize()
+    mesh = make_mesh(8)
+    pipe = DevicePipeline(HCI4D(train_dir, cache=True), cfg, seed=0,
+                          sharding=replicated(mesh))
+    batch = pipe.sample_batch(16)
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    win = window_size(cfg.train_ps)
+    cache = pipe.cache
+
+    ref = jax.jit(lambda c, b: xla_window_gather(
+        c.img, c.aux, c.mpi, b.scene, b.factor - 1, b.ws_y, b.ws_x,
+        win))(cache, batch)
+    got = jax.jit(lambda c, b: sharded_window_gather(
+        c.img, c.aux, c.mpi, b.scene, b.factor - 1, b.ws_y, b.ws_x,
+        win, mesh=mesh, interpret=True))(cache, batch)
+
+    for r, g, name in zip(ref, got, ('img', 'aux', 'mpi')):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                      err_msg=name)
+    # outputs carry the data sharding (per-device local gathers)
+    assert got[0].sharding.is_equivalent_to(
+        batch_sharding(mesh), got[0].ndim)
