@@ -256,17 +256,21 @@ def bench():
         print(f'--- C={c} bs={b} {n_blocks} blocks (14 convs) bf16, '
               f'canvas M={m} ---', flush=True)
 
-        xj = jax.jit(functools.partial(chain_xla, params))
-        timeit(xj, x, name='XLA direct conv chain', flops=fl)
+        # params must be jit ARGUMENTS: closing over ~9 MB of weights
+        # embeds them as HLO constants and the remote compile service
+        # hangs on the oversized request (verify-skill gotcha, observed)
+        xj = jax.jit(chain_xla)
+        timeit(xj, params, x, name='XLA direct conv chain', flops=fl)
 
         xc = jax.jit(lambda x: to_canvas(x, m))(x)
-        pj = jax.jit(functools.partial(chain_pallas, params, h=h, w=w))
-        timeit(pj, xc, name='pallas fused blocks (canvas resident)',
-               flops=fl)
+        pj = jax.jit(lambda p, xc: chain_pallas(p, xc, h, w))
+        timeit(pj, params, xc,
+               name='pallas fused blocks (canvas resident)', flops=fl)
 
-        e2e = jax.jit(lambda x: from_canvas(
-            chain_pallas(params, to_canvas(x, m), h, w), h, w))
-        timeit(e2e, x, name='pallas incl. canvas transposes', flops=fl)
+        e2e = jax.jit(lambda p, x: from_canvas(
+            chain_pallas(p, to_canvas(x, m), h, w), h, w))
+        timeit(e2e, params, x, name='pallas incl. canvas transposes',
+               flops=fl)
 
 
 if __name__ == '__main__':
