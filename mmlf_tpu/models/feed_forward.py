@@ -213,11 +213,14 @@ class FeedForward(nn.Module):
     disp_max: float = 3.5
     dtype: Any = jnp.float32
     remat: bool = False
+    pallas_trunk: bool = False   # run the out_net through the fused
+    #                              canvas kernel (training path, TPU)
 
     @classmethod
     def from_config(cls, cfg) -> 'FeedForward':
         return cls(
             remat=getattr(cfg, 'remat', False),
+            pallas_trunk=getattr(cfg, 'pallas_trunk', False),
             ksize=cfg.model_ksize,
             in_blocks=cfg.model_in_blocks,
             out_blocks=cfg.model_out_blocks,
@@ -289,6 +292,15 @@ class FeedForward(nn.Module):
             output = UNet(out_chs, depth=5, wf=6, padding=True,
                           batch_norm=True, dtype=self.dtype,
                           name='out_net')(features, train)
+        elif self.pallas_trunk and self.ksize == 2:
+            # same variable tree as OutNet, fused canvas execution
+            # (ops/pallas/conv_block.py) — checkpoints interoperate
+            from .pallas_trunk import PallasOutNet
+            output = PallasOutNet(self.out_blocks, cat_chs, out_chs,
+                                  self.ksize, use_bn,
+                                  self.batchnorm_momentum,
+                                  dtype=self.dtype,
+                                  name='out_net')(features, train)
         else:
             output = OutNet(self.out_blocks, cat_chs, out_chs,
                             name='out_net', **kw)(features, train)

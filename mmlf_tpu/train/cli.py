@@ -65,6 +65,9 @@ from .loop import train
               help='[TPU] force host-side window extraction')
 @click.option('--remat', is_flag=True,
               help='[TPU] rematerialize conv blocks (fit bigger batches)')
+@click.option('--pallas_trunk', is_flag=True,
+              help='[TPU] run the out_net through the fused Pallas canvas '
+                   'kernel (faster trunk at ksize=2; same checkpoints)')
 @click.option('--train_accum', default=1,
               help='[TPU] gradient-accumulation microbatches: bs=512 as '
                    '8x64 reproduces the reference 8-GPU recipe on one chip')
