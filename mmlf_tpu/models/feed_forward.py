@@ -254,12 +254,19 @@ class FeedForward(nn.Module):
         kw = dict(ksize=self.ksize, use_bn=use_bn,
                   bn_momentum=self.batchnorm_momentum, dtype=self.dtype,
                   remat=self.remat)
+        pallas = self.pallas_trunk and self.ksize == 2 and not self.unet
 
-        in_net_hv = StreamNet(self.in_blocks, self.chs, name='in_net_hv', **kw)
+        if pallas:
+            from .pallas_trunk import PallasStreamNet
+            stream_cls = PallasStreamNet
+        else:
+            stream_cls = StreamNet
+        in_net_hv = stream_cls(self.in_blocks, self.chs,
+                               name='in_net_hv', **kw)
         in_net_id = None
         if not self.cross:
-            in_net_id = StreamNet(self.in_blocks, self.chs,
-                                  name='in_net_id', **kw)
+            in_net_id = stream_cls(self.in_blocks, self.chs,
+                                   name='in_net_id', **kw)
 
         x_h = self._fold(h_views).astype(self.dtype)
         x_v = self._fold(v_views).astype(self.dtype)
@@ -279,8 +286,6 @@ class FeedForward(nn.Module):
             f_d = in_net_id(x_d, train)
             feats += [f_i, f_d]
 
-        features = jnp.concatenate(feats, axis=-1)
-
         cat_chs = (2 if self.cross else 4) * self.chs
         out_chs = 1
         if self.uncert:
@@ -288,20 +293,30 @@ class FeedForward(nn.Module):
         elif self.discrete:
             out_chs = self.steps
 
-        if self.unet:
-            output = UNet(out_chs, depth=5, wf=6, padding=True,
-                          batch_norm=True, dtype=self.dtype,
-                          name='out_net')(features, train)
-        elif self.pallas_trunk and self.ksize == 2:
-            # same variable tree as OutNet, fused canvas execution
-            # (ops/pallas/conv_block.py) — checkpoints interoperate
+        if pallas:
+            # streams returned RAW canvases + their deferred BN affines
+            # (PallasStreamNet); concat on the channel (sublane) axis and
+            # let out_net block0's input stage apply BN+ReLU — the whole
+            # in->out chain stays in canvas form with zero XLA affine
+            # passes.  Same variable tree as StreamNet/OutNet.
             from .pallas_trunk import PallasOutNet
+            xc = jnp.concatenate([f[0] for f in feats], axis=1)
+            si = jnp.concatenate([f[1] for f in feats])
+            ti = jnp.concatenate([f[2] for f in feats])
+            entry = {'si': si, 'ti': ti, 'hw': feats[0][3],
+                     'affine': use_bn}
             output = PallasOutNet(self.out_blocks, cat_chs, out_chs,
                                   self.ksize, use_bn,
                                   self.batchnorm_momentum,
                                   dtype=self.dtype,
-                                  name='out_net')(features, train)
+                                  name='out_net')(xc, train, entry=entry)
+        elif self.unet:
+            features = jnp.concatenate(feats, axis=-1)
+            output = UNet(out_chs, depth=5, wf=6, padding=True,
+                          batch_norm=True, dtype=self.dtype,
+                          name='out_net')(features, train)
         else:
+            features = jnp.concatenate(feats, axis=-1)
             output = OutNet(self.out_blocks, cat_chs, out_chs,
                             name='out_net', **kw)(features, train)
 

@@ -102,8 +102,26 @@ class _BlockParams(nn.Module):
         return w1, b1, w2, b2
 
 
+def orient_kernel(w, orientation: str):
+    """The OrientedConv kernel fold (models/feed_forward.py OrientedConv):
+    't' = H/W swap, 'tf' = swap then flip the (new) first axis.  Applied
+    OUTSIDE the custom-VJP op, so weight gradients flow back through the
+    (linear, differentiable) re-indexing automatically."""
+    if orientation in ('t', 'tf'):
+        w = jnp.swapaxes(w, 0, 1)
+    if orientation == 'tf':
+        w = jnp.flip(w, axis=0)
+    return w
+
+
 class PallasOutNet(nn.Module):
-    """OutNet twin executed by the fused canvas kernel (k=2 only)."""
+    """OutNet twin executed by the fused canvas kernel (k=2 only).
+
+    ``__call__`` takes either an NHWC feature map (identity entry) or,
+    via ``entry``, a raw canvas + per-channel affine from upstream
+    Pallas stream nets (their final BN+ReLU folds into block0's input
+    stage — the whole in->out chain then never leaves canvas form).
+    """
     n_blocks: int
     features: int
     out_features: int
@@ -116,12 +134,23 @@ class PallasOutNet(nn.Module):
     #                              exact residuals it needs
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, entry: dict = None):
         assert self.ksize == 2, 'PallasOutNet supports ksize=2 only'
-        b, h, w, cin = x.shape
-        _, _, _, m = canvas_dims(h, w)
-        count = jnp.float32(b * h * w)
         interpret = jax.default_backend() != 'tpu'
+
+        if entry is None:
+            b, h, w, cin = x.shape
+            _, _, _, m = canvas_dims(h, w)
+            xc = to_canvas(x.astype(self.dtype), m)
+            si = jnp.ones((cin,), jnp.float32)
+            ti = jnp.zeros((cin,), jnp.float32)
+            relu_in = affine_in = False
+        else:
+            xc, si, ti = x, entry['si'], entry['ti']
+            h, w = entry['hw']
+            cin = xc.shape[1]
+            relu_in, affine_in = True, entry['affine']
+        count = jnp.float32(xc.shape[0] * h * w)
 
         blocks = []
         c_in = cin
@@ -132,11 +161,6 @@ class PallasOutNet(nn.Module):
                                        self.use_bn, self.bn_momentum,
                                        name=f'block{i}'))
             c_in = feats
-
-        xc = to_canvas(x.astype(self.dtype), m)
-        si = jnp.ones((cin,), jnp.float32)
-        ti = jnp.zeros((cin,), jnp.float32)
-        relu_in = affine_in = False
 
         for i, blk in enumerate(blocks):
             last = i == self.n_blocks - 1
@@ -156,3 +180,59 @@ class PallasOutNet(nn.Module):
                 affine_in = False
             relu_in = True
             xc = y2c
+
+
+class PallasStreamNet(nn.Module):
+    """StreamNet twin on canvases: same variable tree, shared weights
+    across orientations via kernel re-indexing (like OrientedConv).
+
+    Returns the RAW final-block canvas plus its BN affine ``(si, ti)`` —
+    the consumer (PallasOutNet block0) applies BN+ReLU in its input
+    stage, so stream outputs never round-trip through an XLA affine.
+    """
+    n_blocks: int
+    features: int
+    ksize: int
+    use_bn: bool
+    bn_momentum: float
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, orientation: str = 'n'):
+        assert self.ksize == 2
+        b, h, w, cin = x.shape
+        _, _, _, m = canvas_dims(h, w)
+        count = jnp.float32(b * h * w)
+        interpret = jax.default_backend() != 'tpu'
+
+        blocks = []
+        c_in = cin
+        for i in range(self.n_blocks):
+            blocks.append(_BlockParams(c_in, self.features, self.ksize,
+                                       self.use_bn, self.bn_momentum,
+                                       name=f'block{i}'))
+            c_in = self.features
+
+        xc = to_canvas(x.astype(self.dtype), m)
+        si = jnp.ones((cin,), jnp.float32)
+        ti = jnp.zeros((cin,), jnp.float32)
+        relu_in = affine_in = False
+
+        for i, blk in enumerate(blocks):
+            w1, b1, w2, b2 = blk()
+            w1 = orient_kernel(w1, orientation)
+            w2 = orient_kernel(w2, orientation)
+            y2c, ps, pss = fused_double_conv(
+                xc, si, ti, w1, b1, w2, b2, h, w, relu_in, affine_in,
+                interpret)
+            if self.use_bn:
+                si, ti = blk(ps, pss, count, train, stats_only=True)
+                affine_in = True
+            else:
+                si = jnp.ones((self.features,), jnp.float32)
+                ti = jnp.zeros((self.features,), jnp.float32)
+                affine_in = False
+            relu_in = True
+            xc = y2c
+        return xc, si, ti, (h, w)
