@@ -293,6 +293,15 @@ def train(cfg: Config, output_dir: str,
     shapes_uniform = len({d[5].shape for d in trainset.data}) == 1
     use_device_cache = use_device_cache and shapes_uniform
 
+    if mesh is not None and getattr(cfg, 'pallas_trunk', False):
+        # the fused canvas kernel has no SPMD partitioning rule yet; a
+        # sharded canvas reaching the custom call would replicate or fail.
+        # Multi-chip trunk sharding: shard_map wrap (like the window
+        # gather) is the follow-up — until then fall back to XLA convs.
+        print('pallas_trunk disabled on a multi-device mesh '
+              '(no partitioning rule yet)')
+        cfg.pallas_trunk = False
+
     if use_device_cache:
         # cache replicated across the mesh so every chip gathers locally
         pipeline = DevicePipeline(
