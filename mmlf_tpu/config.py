@@ -78,7 +78,8 @@ class Config:
     cache_bf16: bool = False    # bfloat16 *image* scene cache (gt/MPI stay fp32)
     host_pipeline: bool = False  # force host-side window extraction
     remat: bool = False          # rematerialize conv blocks (big batches)
-    pallas_trunk: bool = False   # fused Pallas canvas out_net (train, TPU)
+    pallas_trunk: bool = False   # fused Pallas canvas trunk (train, TPU;
+    # shard_mapped per device on a multi-chip mesh)
     train_accum: int = 1         # gradient-accumulation microbatches; the
     # reference's bs=512 recipe runs 64/GPU on 8 GPUs — accum=8 reproduces
     # the global batch (and DataParallel's per-replica-64 BN) on ONE chip

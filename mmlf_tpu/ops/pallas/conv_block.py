@@ -36,6 +36,13 @@ exactly the flax convention — see models/pallas_trunk.py.
 
 Training-path only: eval/ensemble use the XLA path (BN folds into the
 conv weights there, utils/fold_bn.py).
+
+Multi-device: with a >1-device mesh registered via ``set_trunk_mesh``,
+both passes run per device under ``shard_map`` on the local batch shard;
+the BN partial sums (forward) and the parameter cotangents (backward)
+are ``psum``-ed over the ``data`` axis inside the op, reproducing the
+global-BN / summed-wgrad semantics XLA SPMD gives the plain conv path
+(equivalence-tested on the 8-device CPU mesh, tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -50,6 +57,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256          # pixel-lane chunk; also the canvas margin width
 FWD_OFFS = ((0, 0), (0, 1), (1, 0), (1, 1))      # k=2 taps, row-major
+
+# Active device mesh for multi-chip trunk sharding (set by train/loop.py /
+# __graft_entry__ BEFORE the train step traces).  When a >1-device mesh is
+# active, the pallas_call runs per device under ``shard_map`` on the local
+# batch shard, with the BatchNorm partial sums (fwd) and weight/bias/affine
+# gradients (bwd) ``psum``-ed over the ``data`` axis — the same global-BN /
+# summed-wgrad semantics XLA SPMD gives the plain conv path.
+_MESH = None
+
+
+def set_trunk_mesh(mesh) -> None:
+    """Register the mesh the next trace should shard over (None = off)."""
+    global _MESH
+    _MESH = mesh
+
+
+def _active_mesh():
+    if _MESH is not None and _MESH.devices.size > 1:
+        return _MESH
+    return None
 
 
 def canvas_dims(h: int, w: int):
@@ -398,34 +425,59 @@ def _fwd(xc, si, ti, w1, b1, w2, b2, h, w, relu_in, affine_in, interpret):
 
     kernel = functools.partial(_fwd_kernel, s, cin, cout,
                                relu_in, affine_in)
-    y1, y2, ps, pss = pl.pallas_call(
-        kernel,
-        grid=(b, n_chunks),
-        in_specs=[
-            _chunk_spec(cin, n_chunks), _chunk_spec(cin, n_chunks, +1),
-            _const_spec((cin, 1)), _const_spec((cin, 1)),
-            _mask_spec(n_chunks), _mask_spec(n_chunks, +1),
-            _const_spec(w1p.shape), _const_spec((cout, 1)),
-            _const_spec(w2p.shape), _const_spec((cout, 1)),
-        ],
-        out_specs=(_chunk_spec(cout, n_chunks),
-                   _chunk_spec(cout, n_chunks),
-                   _const_spec((cout, 1)), _const_spec((cout, 1))),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, cout, m), dt),
-            jax.ShapeDtypeStruct((b, cout, m), dt),
-            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, cout, TILE), dt),         # y1 ring
-            pltpu.VMEM((4 * _pad16(cin), TILE), dt),
-            pltpu.VMEM((4 * _pad16(cout), TILE), dt),
-            pltpu.VMEM((cout, 2), jnp.float32),      # stats accumulator
-        ],
-        interpret=interpret,
-    )(xc, xc, _col(si), _col(ti), mask, mask,
-      w1p, _col(b1), w2p, _col(b2))
+
+    def call(xc_, si_, ti_, mk_, w1_, b1_, w2_, b2_):
+        b_ = xc_.shape[0]         # LOCAL batch under shard_map
+        return pl.pallas_call(
+            kernel,
+            grid=(b_, n_chunks),
+            in_specs=[
+                _chunk_spec(cin, n_chunks), _chunk_spec(cin, n_chunks, +1),
+                _const_spec((cin, 1)), _const_spec((cin, 1)),
+                _mask_spec(n_chunks), _mask_spec(n_chunks, +1),
+                _const_spec(w1p.shape), _const_spec((cout, 1)),
+                _const_spec(w2p.shape), _const_spec((cout, 1)),
+            ],
+            out_specs=(_chunk_spec(cout, n_chunks),
+                       _chunk_spec(cout, n_chunks),
+                       _const_spec((cout, 1)), _const_spec((cout, 1))),
+            out_shape=(
+                jax.ShapeDtypeStruct((b_, cout, m), dt),
+                jax.ShapeDtypeStruct((b_, cout, m), dt),
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, cout, TILE), dt),         # y1 ring
+                pltpu.VMEM((4 * _pad16(cin), TILE), dt),
+                pltpu.VMEM((4 * _pad16(cout), TILE), dt),
+                pltpu.VMEM((cout, 2), jnp.float32),      # stats accumulator
+            ],
+            interpret=interpret,
+        )(xc_, xc_, si_, ti_, mk_, mk_, w1_, b1_, w2_, b2_)
+
+    args = (xc, _col(si), _col(ti), mask, w1p, _col(b1), w2p, _col(b2))
+    mesh = _active_mesh()
+    if mesh is not None and b % mesh.devices.size != 0:
+        mesh = None      # unshardable batch (init dummies, bs=1 eval)
+    if mesh is None:
+        y1, y2, ps, pss = call(*args)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(xc_, si_, ti_, mk_, w1_, b1_, w2_, b2_):
+            y1_, y2_, ps_, pss_ = call(xc_, si_, ti_, mk_, w1_, b1_,
+                                       w2_, b2_)
+            # global-BN semantics: stats sum over the full batch
+            return (y1_, y2_, jax.lax.psum(ps_, 'data'),
+                    jax.lax.psum(pss_, 'data'))
+
+        y1, y2, ps, pss = shard_map(
+            local, mesh=mesh,
+            in_specs=(P('data'),) + (P(),) * 7,
+            out_specs=(P('data'), P('data'), P(), P()),
+            check_vma=False)(*args)
     return y2, ps[:, 0], pss[:, 0], y1
 
 
@@ -453,46 +505,79 @@ def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
 
     kernel = functools.partial(_bwd_kernel, s, cin, cout,
                                relu_in, affine_in)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(b, n_chunks),
-        in_specs=[
-            _chunk_spec(cin, n_chunks), _chunk_spec(cin, n_chunks, +1),
-            _const_spec((cin, 1)), _const_spec((cin, 1)),
-            _mask_spec(n_chunks), _mask_spec(n_chunks, +1),
-            _chunk_spec(cout, n_chunks, -1), _chunk_spec(cout, n_chunks),
-            _chunk_spec(cout, n_chunks), _chunk_spec(cout, n_chunks, +1),
-            _chunk_spec(cout, n_chunks), _chunk_spec(cout, n_chunks, +1),
-            _const_spec((cout, 1)), _const_spec((cout, 1)),
-            _const_spec(w1dg.shape), _const_spec(w2dg.shape),
-        ],
-        out_specs=(_chunk_spec(cin, n_chunks),
-                   _const_spec((cout, 4 * cinp)), _const_spec((cout, 1)),
-                   _const_spec((cout, 4 * coutp)), _const_spec((cout, 1)),
-                   _const_spec((cin, 1)), _const_spec((cin, 1))),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, cin, m), dt),
-            jax.ShapeDtypeStruct((cout, 4 * cinp), jnp.float32),
-            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-            jax.ShapeDtypeStruct((cout, 4 * coutp), jnp.float32),
-            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-            jax.ShapeDtypeStruct((cin, 1), jnp.float32),
-            jax.ShapeDtypeStruct((cin, 1), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, cout, TILE), dt),             # dy1 ring
-            pltpu.VMEM((4 * coutp, TILE), dt),           # rhs dgrad taps
-            pltpu.VMEM((4 * cinp, TILE), dt),            # rhsw1
-            pltpu.VMEM((4 * coutp, TILE), dt),           # rhsw2
-            pltpu.VMEM((cout, 4 * cinp), jnp.float32),   # dW1 accumulator
-            pltpu.VMEM((cout, 4 * coutp), jnp.float32),  # dW2 accumulator
-            pltpu.VMEM((cin, 2), jnp.float32),           # dsi/dti
-            pltpu.VMEM((cout, 2), jnp.float32),          # db1/db2
-        ],
-        interpret=interpret,
-    )(xc, xc, _col(si), _col(ti), mask, mask,
-      y1, y1, y2, y2, dy2, dy2,
-      _col(dps), _col(dpss), w1dg, w2dg)
+
+    def call(xc_, si_, ti_, mk_, y1_, y2_, dy2_, dps_, dpss_, w1_, w2_):
+        b_ = xc_.shape[0]         # LOCAL batch under shard_map
+        return pl.pallas_call(
+            kernel,
+            grid=(b_, n_chunks),
+            in_specs=[
+                _chunk_spec(cin, n_chunks), _chunk_spec(cin, n_chunks, +1),
+                _const_spec((cin, 1)), _const_spec((cin, 1)),
+                _mask_spec(n_chunks), _mask_spec(n_chunks, +1),
+                _chunk_spec(cout, n_chunks, -1),
+                _chunk_spec(cout, n_chunks),
+                _chunk_spec(cout, n_chunks),
+                _chunk_spec(cout, n_chunks, +1),
+                _chunk_spec(cout, n_chunks),
+                _chunk_spec(cout, n_chunks, +1),
+                _const_spec((cout, 1)), _const_spec((cout, 1)),
+                _const_spec(w1dg.shape), _const_spec(w2dg.shape),
+            ],
+            out_specs=(_chunk_spec(cin, n_chunks),
+                       _const_spec((cout, 4 * cinp)),
+                       _const_spec((cout, 1)),
+                       _const_spec((cout, 4 * coutp)),
+                       _const_spec((cout, 1)),
+                       _const_spec((cin, 1)), _const_spec((cin, 1))),
+            out_shape=(
+                jax.ShapeDtypeStruct((b_, cin, m), dt),
+                jax.ShapeDtypeStruct((cout, 4 * cinp), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 4 * coutp), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+                jax.ShapeDtypeStruct((cin, 1), jnp.float32),
+                jax.ShapeDtypeStruct((cin, 1), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, cout, TILE), dt),             # dy1 ring
+                pltpu.VMEM((4 * coutp, TILE), dt),           # rhs dgrad
+                pltpu.VMEM((4 * cinp, TILE), dt),            # rhsw1
+                pltpu.VMEM((4 * coutp, TILE), dt),           # rhsw2
+                pltpu.VMEM((cout, 4 * cinp), jnp.float32),   # dW1 acc
+                pltpu.VMEM((cout, 4 * coutp), jnp.float32),  # dW2 acc
+                pltpu.VMEM((cin, 2), jnp.float32),           # dsi/dti
+                pltpu.VMEM((cout, 2), jnp.float32),          # db1/db2
+            ],
+            interpret=interpret,
+        )(xc_, xc_, si_, ti_, mk_, mk_,
+          y1_, y1_, y2_, y2_, dy2_, dy2_,
+          dps_, dpss_, w1_, w2_)
+
+    args = (xc, _col(si), _col(ti), mask, y1, y2, dy2,
+            _col(dps), _col(dpss), w1dg, w2dg)
+    mesh = _active_mesh()
+    if mesh is not None and b % mesh.devices.size != 0:
+        mesh = None      # unshardable batch (matches the forward)
+    if mesh is None:
+        outs = call(*args)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(*a):
+            dx_, dw1_, db1_, dw2_, db2_, dsi_, dti_ = call(*a)
+            # parameter cotangents sum over the full (sharded) batch
+            dw1_, db1_, dw2_, db2_, dsi_, dti_ = jax.lax.psum(
+                (dw1_, db1_, dw2_, db2_, dsi_, dti_), 'data')
+            return dx_, dw1_, db1_, dw2_, db2_, dsi_, dti_
+
+        outs = shard_map(
+            local, mesh=mesh,
+            in_specs=(P('data'), P(), P(), P(), P('data'), P('data'),
+                      P('data'), P(), P(), P(), P()),
+            out_specs=(P('data'),) + (P(),) * 6,
+            check_vma=False)(*args)
     dx, dw1p, db1, dw2p, db2, dsi, dti = outs
 
     def unpack_dw(dwp, cin_, cinp_):

@@ -293,14 +293,13 @@ def train(cfg: Config, output_dir: str,
     shapes_uniform = len({d[5].shape for d in trainset.data}) == 1
     use_device_cache = use_device_cache and shapes_uniform
 
-    if mesh is not None and getattr(cfg, 'pallas_trunk', False):
-        # the fused canvas kernel has no SPMD partitioning rule yet; a
-        # sharded canvas reaching the custom call would replicate or fail.
-        # Multi-chip trunk sharding: shard_map wrap (like the window
-        # gather) is the follow-up — until then fall back to XLA convs.
-        print('pallas_trunk disabled on a multi-device mesh '
-              '(no partitioning rule yet)')
-        cfg.pallas_trunk = False
+    if getattr(cfg, 'pallas_trunk', False):
+        # multi-device: the fused canvas kernel runs per device under
+        # shard_map on the local batch shard (BN stats + weight grads
+        # psum-ed over 'data' inside the op — ops/pallas/conv_block.py);
+        # registering the mesh here makes the next trace pick it up.
+        from ..ops.pallas.conv_block import set_trunk_mesh
+        set_trunk_mesh(mesh)
 
     if use_device_cache:
         # cache replicated across the mesh so every chip gathers locally

@@ -218,3 +218,56 @@ def test_sharded_pallas_gather_matches_xla(data_dirs):
     # outputs carry the data sharding (per-device local gathers)
     assert got[0].sharding.is_equivalent_to(
         batch_sharding(mesh), got[0].ndim)
+
+
+def test_sharded_pallas_trunk_matches_single_device():
+    """FeedForward(pallas_trunk=True) on the 8-device mesh (shard_mapped
+    canvas kernel, interpret mode) must match the unsharded run: loss,
+    gradients, and the psum'd global BatchNorm statistics."""
+    from mmlf_tpu.ops.pallas.conv_block import set_trunk_mesh
+
+    cfg = Config(model_chs=6, model_views=3, model_in_blocks=1,
+                 model_out_blocks=2, model_uncert=True,
+                 pallas_trunk=True).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(0)
+    stacks = [jnp.asarray(rng.random((8, 3, 24, 24, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(1), *stacks)
+
+    def loss(params, stats, h, v, i, d):
+        out, mut = model.apply(
+            {'params': params, 'batch_stats': stats}, h, v, i, d,
+            train=True, mutable=['batch_stats'])
+        return (jnp.mean(jnp.abs(out['mean']))
+                + 0.1 * jnp.mean(out['logvar'])), mut['batch_stats']
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    (l_ref, st_ref), g_ref = grad_fn(variables['params'],
+                                     variables['batch_stats'], *stacks)
+
+    mesh = make_mesh(8)
+    set_trunk_mesh(mesh)
+    try:
+        sh = batch_sharding(mesh)
+        sharded = [jax.device_put(s, sh) for s in stacks]
+        v_rep = jax.device_put(variables, replicated(mesh))
+        (l_sh, st_sh), g_sh = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(
+                v_rep['params'], v_rep['batch_stats'], *sharded)
+    finally:
+        set_trunk_mesh(None)
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st_ref),
+            jax.tree_util.tree_leaves_with_path(st_sh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f'stats {kp}')
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_sh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=1e-6,
+                                   err_msg=f'grad {kp}')
