@@ -23,6 +23,15 @@ conv with the spatially flipped, in/out-swapped kernel, K = 4*Cout =
 1120 -> 1152, 97%) and accumulates weight gradients across the grid in
 VMEM scratch.
 
+Residual policy: the VJP saves ONLY the block input xc (which is the
+previous block's y2 — canvases chain, so the trunk stores one activation
+per block).  The conv1 output y1 is never written to HBM: the forward
+keeps it in the VMEM ring, and the backward RECOMPUTES each y1 tile from
+xc with one extra GEMM per chunk (5 instead of 4 backward GEMMs, ~+17%
+backward MXU work for ~1/3 less forward HBM write traffic and ~45% less
+residual memory — without this the chs=70 bs=128 trunk OOMs the v5e's
+16 GB HBM, measured).
+
 Memory shape: the v5e grants a Pallas kernel only ~16 MB of scoped VMEM
 (measured: a whole-canvas formulation OOMs at 33 MB), so the kernel walks
 the canvas in TILE-lane chunks with a two-slot ring buffer carrying the
@@ -163,12 +172,12 @@ def _zero_rhs_pad(rhs, c, cp):
 def _fwd_kernel(s, cin, cout, relu_in, affine_in,
                 xc_ref, xn_ref, si_ref, ti_ref, mc_ref, mn_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref,
-                y1_ref, y2_ref, ps_ref, pss_ref,
+                y2_ref, ps_ref, pss_ref,
                 ring, rhs1, rhs2, st_scr):
     """Forward of one block, one (image, chunk) grid step.
 
     z  = mask * [relu]([si * x + ti])      (previous block's BN+ReLU)
-    y1 = relu(W1 @ taps(z) + b1)           conv pad (1,1); two-slot ring
+    y1 = relu(W1 @ taps(z) + b1)           conv pad (1,1); VMEM ring ONLY
     y2 = W2 @ taps(y1) + b2                conv pad (0,0), interior offset
     ps/pss = masked per-channel sum / sum² of y2 (BatchNorm stats).
     """
@@ -189,9 +198,8 @@ def _fwd_kernel(s, cin, cout, relu_in, affine_in,
 
     @pl.when(margin)
     def _():
-        zero = jnp.zeros((cout, TILE), y1_ref.dtype)
+        zero = jnp.zeros((cout, TILE), ring.dtype)
         ring[slot] = zero
-        y1_ref[0] = zero
         y2_ref[0] = zero.astype(y2_ref.dtype)
 
     @pl.when(~margin)
@@ -212,9 +220,8 @@ def _fwd_kernel(s, cin, cout, relu_in, affine_in,
             rhs1[j * cinp:j * cinp + cin, :] = zcat[:, o:o + TILE]
         acc = jnp.dot(w1_ref[:], rhs1[:],
                       preferred_element_type=jnp.float32)
-        y1 = jnp.maximum(acc + b1_ref[:], 0.0).astype(y1_ref.dtype)
+        y1 = jnp.maximum(acc + b1_ref[:], 0.0).astype(ring.dtype)
         ring[slot] = y1
-        y1_ref[0] = y1
 
         # conv2 taps: offsets {-S-1, -S, -1, 0} -> read [prev | cur] ring
         y1cat = jnp.concatenate([ring[1 - slot], y1], axis=1)
@@ -237,18 +244,20 @@ def _fwd_kernel(s, cin, cout, relu_in, affine_in,
 
 def _bwd_kernel(s, cin, cout, relu_in, affine_in,
                 xc_ref, xn_ref, si_ref, ti_ref, mc_ref, mn_ref,
-                y1p_ref, y1c_ref, y2c_ref, y2n_ref, dy2c_ref, dy2n_ref,
-                dps_ref, dpss_ref, w1dg_ref, w2dg_ref,
+                y2c_ref, y2n_ref, dy2c_ref, dy2n_ref,
+                dps_ref, dpss_ref, w1f_ref, b1_ref, w1dg_ref, w2dg_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 dsi_ref, dti_ref,
-                ring, rhs, rhsw1, rhsw2,
+                ring, y1r, rhs, rhsw1, rhsw2,
                 dw1_acc, dw2_acc, vin_acc, vout_acc):
     """Backward of one block, one (image, chunk) grid step.
 
-    g2 = dy2 + mask*(dps + 2*y2*dpss); dy1 = relu'(y1)*dgrad-conv2(g2)
-    (ring-carried); dz = dgrad-conv1(dy1); plus dW1/dW2/db/daffine
-    accumulated in scratch across the whole grid and emitted at the last
-    step.  Residuals: x, y1, y2 — no recomputed GEMMs.
+    y1 is RECOMPUTED from the xc residual (one extra GEMM, reusing the
+    rhsw1 tap load that dW1 needs anyway) and ring-carried like the
+    forward; g2 = dy2 + mask*(dps + 2*y2*dpss); dy1 = relu'(y1) *
+    dgrad-conv2(g2) (ring-carried); dz = dgrad-conv1(dy1); plus
+    dW1/dW2/db/daffine accumulated in scratch across the whole grid and
+    emitted at the last step.  Residuals: x and y2 only.
     """
     cinp = _pad16(cin)
     coutp = _pad16(cout)
@@ -271,12 +280,34 @@ def _bwd_kernel(s, cin, cout, relu_in, affine_in,
 
     @pl.when(margin)
     def _():
-        ring[slot] = jnp.zeros((cout, TILE), ring.dtype)
+        zero = jnp.zeros((cout, TILE), ring.dtype)
+        ring[slot] = zero
+        y1r[slot] = zero
         dx_ref[0] = jnp.zeros((cin, TILE), dx_ref.dtype)
 
     @pl.when(~margin)
     def _():
         f32 = jnp.float32
+
+        # recompute y1 (exactly the forward's math): taps(z) -> rhsw1,
+        # which the dW1 GEMM below reuses
+        def z_of(x_ref, m_ref):
+            x = x_ref[0]
+            if affine_in:
+                x = x * si_ref[:].astype(x.dtype) \
+                    + ti_ref[:].astype(x.dtype)
+            if relu_in:
+                x = jnp.maximum(x, 0)
+            return x * m_ref[:].astype(x.dtype)
+
+        zcat = jnp.concatenate([z_of(xc_ref, mc_ref),
+                                z_of(xn_ref, mn_ref)], axis=1)
+        for j, (dy, dx) in enumerate(FWD_OFFS):
+            o = dy * s + dx
+            rhsw1[j * cinp:j * cinp + cin, :] = zcat[:, o:o + TILE]
+        acc1 = jnp.dot(w1f_ref[:], rhsw1[:], preferred_element_type=f32)
+        y1 = jnp.maximum(acc1 + b1_ref[:], 0.0).astype(y1r.dtype)
+        y1r[slot] = y1
 
         def g2_of(dy2_ref, y2_ref, m_ref):
             y2 = y2_ref[0].astype(f32)
@@ -295,13 +326,12 @@ def _bwd_kernel(s, cin, cout, relu_in, affine_in,
             o = dy * s + dx
             rhs[j * coutp:j * coutp + cout, :] = g2cat[:, o:o + TILE]
         acc = jnp.dot(w2dg_ref[:], rhs[:], preferred_element_type=f32)
-        y1t = y1c_ref[0].astype(f32)
-        dy1 = jnp.where(y1t > 0.0, acc, 0.0)
+        dy1 = jnp.where(y1.astype(f32) > 0.0, acc, 0.0)
         ring[slot] = dy1.astype(ring.dtype)
         vout_acc[:, 0:1] += jnp.sum(dy1, axis=1, keepdims=True)  # db1
 
         # dW2 += g2_tile @ taps(y1)^T; y1 taps {-S-1..0} -> [prev | cur]
-        y1cat = jnp.concatenate([y1p_ref[0], y1c_ref[0]], axis=1)
+        y1cat = jnp.concatenate([y1r[1 - slot], y1], axis=1)
         for j, (dy, dx) in enumerate(FWD_OFFS):
             o = TILE + dy * s + dx - s - 1
             rhsw2[j * coutp:j * coutp + cout, :] = y1cat[:, o:o + TILE]
@@ -317,21 +347,7 @@ def _bwd_kernel(s, cin, cout, relu_in, affine_in,
             rhs[j * coutp:j * coutp + cout, :] = dy1cat[:, o:o + TILE]
         dz = jnp.dot(w1dg_ref[:], rhs[:], preferred_element_type=f32)
 
-        # dW1 += dy1_tile @ taps(z)^T; z taps {0..S+1} -> [cur | next]
-        def z_of(x_ref, m_ref):
-            x = x_ref[0]
-            if affine_in:
-                x = x * si_ref[:].astype(x.dtype) \
-                    + ti_ref[:].astype(x.dtype)
-            if relu_in:
-                x = jnp.maximum(x, 0)
-            return x * m_ref[:].astype(x.dtype)
-
-        zcat = jnp.concatenate([z_of(xc_ref, mc_ref),
-                                z_of(xn_ref, mn_ref)], axis=1)
-        for j, (dy, dx) in enumerate(FWD_OFFS):
-            o = dy * s + dx
-            rhsw1[j * cinp:j * cinp + cin, :] = zcat[:, o:o + TILE]
+        # dW1 += dy1_tile @ taps(z)^T (rhsw1 still holds taps(z))
         dw1_acc[:] += jax.lax.dot_general(
             dy1.astype(rhsw1.dtype), rhsw1[:], (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -404,9 +420,8 @@ def fused_double_conv(xc, si, ti, w1, b1, w2, b2,
         margins zero) and masked per-channel fp32 sum / sum-of-squares
         for the BatchNorm stats.
     """
-    y2, ps, pss, _ = _fwd(xc, si, ti, w1, b1, w2, b2,
-                          h, w, relu_in, affine_in, interpret)
-    return y2, ps, pss
+    return _fwd(xc, si, ti, w1, b1, w2, b2,
+                h, w, relu_in, affine_in, interpret)
 
 
 def _fwd(xc, si, ti, w1, b1, w2, b2, h, w, relu_in, affine_in, interpret):
@@ -439,10 +454,8 @@ def _fwd(xc, si, ti, w1, b1, w2, b2, h, w, relu_in, affine_in, interpret):
                 _const_spec(w2p.shape), _const_spec((cout, 1)),
             ],
             out_specs=(_chunk_spec(cout, n_chunks),
-                       _chunk_spec(cout, n_chunks),
                        _const_spec((cout, 1)), _const_spec((cout, 1))),
             out_shape=(
-                jax.ShapeDtypeStruct((b_, cout, m), dt),
                 jax.ShapeDtypeStruct((b_, cout, m), dt),
                 jax.ShapeDtypeStruct((cout, 1), jnp.float32),
                 jax.ShapeDtypeStruct((cout, 1), jnp.float32),
@@ -461,36 +474,36 @@ def _fwd(xc, si, ti, w1, b1, w2, b2, h, w, relu_in, affine_in, interpret):
     if mesh is not None and b % mesh.devices.size != 0:
         mesh = None      # unshardable batch (init dummies, bs=1 eval)
     if mesh is None:
-        y1, y2, ps, pss = call(*args)
+        y2, ps, pss = call(*args)
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def local(xc_, si_, ti_, mk_, w1_, b1_, w2_, b2_):
-            y1_, y2_, ps_, pss_ = call(xc_, si_, ti_, mk_, w1_, b1_,
-                                       w2_, b2_)
+            y2_, ps_, pss_ = call(xc_, si_, ti_, mk_, w1_, b1_,
+                                  w2_, b2_)
             # global-BN semantics: stats sum over the full batch
-            return (y1_, y2_, jax.lax.psum(ps_, 'data'),
+            return (y2_, jax.lax.psum(ps_, 'data'),
                     jax.lax.psum(pss_, 'data'))
 
-        y1, y2, ps, pss = shard_map(
+        y2, ps, pss = shard_map(
             local, mesh=mesh,
             in_specs=(P('data'),) + (P(),) * 7,
-            out_specs=(P('data'), P('data'), P(), P()),
+            out_specs=(P('data'), P(), P()),
             check_vma=False)(*args)
-    return y2, ps[:, 0], pss[:, 0], y1
+    return y2, ps[:, 0], pss[:, 0]
 
 
 def _fused_fwd_rule(xc, si, ti, w1, b1, w2, b2,
                     h, w, relu_in, affine_in, interpret):
-    y2, ps, pss, y1 = _fwd(xc, si, ti, w1, b1, w2, b2,
-                           h, w, relu_in, affine_in, interpret)
-    res = (xc, si, ti, w1, w2, y1, y2)
+    y2, ps, pss = _fwd(xc, si, ti, w1, b1, w2, b2,
+                       h, w, relu_in, affine_in, interpret)
+    res = (xc, si, ti, w1, b1, w2, y2)
     return (y2, ps, pss), res
 
 
 def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
-    xc, si, ti, w1, w2, y1, y2 = res
+    xc, si, ti, w1, b1, w2, y2 = res
     dy2, dps, dpss = cts
     b, cin, m = xc.shape
     s, p, mc, _ = canvas_dims(h, w)
@@ -499,6 +512,7 @@ def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
     n_chunks = m // TILE
     dt = xc.dtype
 
+    w1f = pack_weights(w1).astype(dt)            # (cout, 4*cinp)
     w1dg = pack_weights_dgrad(w1).astype(dt)     # (cin,  4*coutp)
     w2dg = pack_weights_dgrad(w2).astype(dt)     # (cout, 4*coutp)
     mask = interior_mask(h, w, dt)
@@ -506,7 +520,8 @@ def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
     kernel = functools.partial(_bwd_kernel, s, cin, cout,
                                relu_in, affine_in)
 
-    def call(xc_, si_, ti_, mk_, y1_, y2_, dy2_, dps_, dpss_, w1_, w2_):
+    def call(xc_, si_, ti_, mk_, y2_, dy2_, dps_, dpss_,
+             w1f_, b1_, w1_, w2_):
         b_ = xc_.shape[0]         # LOCAL batch under shard_map
         return pl.pallas_call(
             kernel,
@@ -515,13 +530,12 @@ def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
                 _chunk_spec(cin, n_chunks), _chunk_spec(cin, n_chunks, +1),
                 _const_spec((cin, 1)), _const_spec((cin, 1)),
                 _mask_spec(n_chunks), _mask_spec(n_chunks, +1),
-                _chunk_spec(cout, n_chunks, -1),
-                _chunk_spec(cout, n_chunks),
                 _chunk_spec(cout, n_chunks),
                 _chunk_spec(cout, n_chunks, +1),
                 _chunk_spec(cout, n_chunks),
                 _chunk_spec(cout, n_chunks, +1),
                 _const_spec((cout, 1)), _const_spec((cout, 1)),
+                _const_spec(w1f.shape), _const_spec((cout, 1)),
                 _const_spec(w1dg.shape), _const_spec(w2dg.shape),
             ],
             out_specs=(_chunk_spec(cin, n_chunks),
@@ -541,6 +555,7 @@ def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, cout, TILE), dt),             # dy1 ring
+                pltpu.VMEM((2, cout, TILE), dt),             # y1 ring
                 pltpu.VMEM((4 * coutp, TILE), dt),           # rhs dgrad
                 pltpu.VMEM((4 * cinp, TILE), dt),            # rhsw1
                 pltpu.VMEM((4 * coutp, TILE), dt),           # rhsw2
@@ -551,11 +566,11 @@ def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
             ],
             interpret=interpret,
         )(xc_, xc_, si_, ti_, mk_, mk_,
-          y1_, y1_, y2_, y2_, dy2_, dy2_,
-          dps_, dpss_, w1_, w2_)
+          y2_, y2_, dy2_, dy2_,
+          dps_, dpss_, w1f_, b1_, w1_, w2_)
 
-    args = (xc, _col(si), _col(ti), mask, y1, y2, dy2,
-            _col(dps), _col(dpss), w1dg, w2dg)
+    args = (xc, _col(si), _col(ti), mask, y2, dy2,
+            _col(dps), _col(dpss), w1f, _col(b1), w1dg, w2dg)
     mesh = _active_mesh()
     if mesh is not None and b % mesh.devices.size != 0:
         mesh = None      # unshardable batch (matches the forward)
@@ -575,7 +590,7 @@ def _fused_bwd_rule(h, w, relu_in, affine_in, interpret, res, cts):
         outs = shard_map(
             local, mesh=mesh,
             in_specs=(P('data'), P(), P(), P(), P('data'), P('data'),
-                      P('data'), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P()),
             out_specs=(P('data'),) + (P(),) * 6,
             check_vma=False)(*args)
     dx, dw1p, db1, dw2p, db2, dsi, dti = outs
