@@ -61,7 +61,8 @@ def _pick_gt_pfm(scene: str, nviews) -> Optional[str]:
     """The reference's cascade for locating the GT disparity PFM
     (reference mmlf/data/hci4d.py:196-207)."""
     w, h = nviews
-    pfms = [f.name for f in os.scandir(scene) if f.name.endswith('.pfm')]
+    pfms = sorted(f.name for f in os.scandir(scene)
+                  if f.name.endswith('.pfm'))   # scandir order is fs-dependent
     if len(pfms) > 1:
         pfms = [f for f in pfms if 'disp' in f] or pfms
     if len(pfms) > 1:

@@ -257,7 +257,8 @@ class TrainPipeline:
                 y_off=np.asarray(y_offs, np.int32),
                 x_off=np.asarray(x_offs, np.int32),
                 rot_k=self.rng.integers(0, 4, b).astype(np.int32),
-                color=np.stack([T.random_color_matrix() for _ in range(b)]),
+                color=np.stack([T.random_color_matrix(self.rng)
+                                for _ in range(b)]),
                 brightness=(self.rng.uniform(-0.9, 0.9, b) + 1.0
                             ).astype(np.float32),
                 contrast=(self.rng.uniform(-0.9, 0.9, b) + 1.0
@@ -532,7 +533,7 @@ class DevicePipeline(TrainPipeline):
                                        batch_size).astype(np.float32),
                 y_off=y_offs, x_off=x_offs,
                 rot_k=self.rng.integers(0, 4, batch_size).astype(np.int32),
-                color=np.stack([T.random_color_matrix()
+                color=np.stack([T.random_color_matrix(self.rng)
                                 for _ in range(batch_size)]),
                 brightness=(self.rng.uniform(-0.9, 0.9, batch_size)
                             + 1.0).astype(np.float32),

@@ -200,14 +200,21 @@ class RandomCrop:
         return Crop(self.size, (y, x))(data)
 
 
-def random_color_matrix() -> np.ndarray:
+def random_color_matrix(rng=None) -> np.ndarray:
     """The reference's random row/column-stochastic 3×3 color mix
-    (reference mmlf/data/hci4d.py:681-692)."""
+    (reference mmlf/data/hci4d.py:681-692).
+
+    ``rng``: optional ``np.random.Generator`` — the seeded pipelines pass
+    theirs so ``--train_seed`` actually pins the color augmentation (the
+    global ``random`` module is OS-seeded per process).
+    """
+    u = random.uniform if rng is None else \
+        (lambda a, b: float(rng.uniform(a, b)))
     m = np.zeros((3, 3))
-    m[0, 0] = random.uniform(0.0, 1.0)
-    m[0, 1] = random.uniform(0.0, 1.0 - m[0, 0])
-    m[1, 0] = random.uniform(0.0, 1.0 - m[0, 0])
-    m[1, 1] = random.uniform(0.0, 1.0 - max(m[0, 1], m[1, 0]))
+    m[0, 0] = u(0.0, 1.0)
+    m[0, 1] = u(0.0, 1.0 - m[0, 0])
+    m[1, 0] = u(0.0, 1.0 - m[0, 0])
+    m[1, 1] = u(0.0, 1.0 - max(m[0, 1], m[1, 0]))
     m[0, 2] = 1.0 - m[0, 0] - m[0, 1]
     m[1, 2] = 1.0 - m[1, 0] - m[1, 1]
     m[2, 0] = 1.0 - m[0, 0] - m[1, 0]

@@ -276,6 +276,13 @@ def train(cfg: Config, output_dir: str,
     if cfg.model_invertible:
         raise NotImplementedError(NOT_SUPPORTED_MSG)
 
+    # the host-pipeline transform chain draws from the stdlib/np global
+    # RNGs (reference-faithful); pin them so --train_seed reproduces runs
+    # (the device pipelines use their own seeded np.Generator)
+    import random
+    random.seed(cfg.train_seed)
+    np.random.seed(cfg.train_seed)
+
     trainset = HCI4D(cfg.train_trainset, cache=True, length=4096)
 
     # data-parallel mesh over all local devices (when the batch divides)

@@ -149,3 +149,21 @@ def test_remat_model_matches_plain(dataset):
     for a, b in zip(jax.tree_util.tree_leaves(ga),
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_seeded_augmentation_ignores_global_random(dataset):
+    """--train_seed must pin ALL augmentation params.  The color matrix
+    used to be drawn from the global `random` module (OS-seeded per
+    process), so identically-seeded runs diverged across processes."""
+    import random as _random
+
+    cfg = _cfg()
+    pipe1 = DevicePipeline(dataset, cfg, seed=7)
+    _random.seed(111)
+    b1 = pipe1.sample_batch(4)
+    pipe2 = DevicePipeline(dataset, cfg, seed=7)
+    _random.seed(222)
+    b2 = pipe2.sample_batch(4)
+    for field in AugParams._fields:
+        assert np.array_equal(np.asarray(getattr(b1.aug, field)),
+                              np.asarray(getattr(b2.aug, field))), field
