@@ -76,14 +76,18 @@ def _shift_matrix(amt, start, ps: int, win: int, dtype):
 
     ``out[y] = (1-α)·x[(start+y-s0) mod win] + α·x[(start+y-s1) mod win]``
     — the circular roll-lerp of ops/shift.py restricted to the crop rows.
+    The source index is computed on the small ``(B, Q, ps)`` tensor and
+    the band materialized as one equality over the 4-D shape, keeping the
+    integer mod off the full ``(B, Q, ps, win)`` operand.
     """
     alpha, s0, s1 = modf_shift_components(amt)          # (B, Q)
-    y_out = start[:, None, None, None] + \
-        jnp.arange(ps, dtype=jnp.int32)[None, None, :, None]
-    y_in = jnp.arange(win, dtype=jnp.int32)[None, None, None, :]
+    y_out = start[:, None, None].astype(jnp.int32) + \
+        jnp.arange(ps, dtype=jnp.int32)[None, None, :]           # (B, 1, ps)
+    y_in = jnp.arange(win, dtype=jnp.int32)
 
     def band(s):
-        return ((y_in - y_out + s[:, :, None, None]) % win == 0)
+        t = jnp.mod(y_out - s[:, :, None], win)                  # (B, Q, ps)
+        return y_in[None, None, None, :] == t[..., None]
 
     a = alpha[:, :, None, None].astype(jnp.float32)
     r = (1.0 - a) * band(s0) + a * band(s1)
