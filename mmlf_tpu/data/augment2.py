@@ -71,7 +71,7 @@ def _relabel_table(n_views: int) -> np.ndarray:
     return qin
 
 
-def _shift_matrix(amt, start, ps: int, win: int, dtype):
+def _shift_matrix(amt, start, ps: int, win: int, dtype, rev=None):
     """Banded roll-lerp + crop operator ``(B, Q, ps, win)``.
 
     ``out[y] = (1-α)·x[(start+y-s0) mod win] + α·x[(start+y-s1) mod win]``
@@ -79,10 +79,20 @@ def _shift_matrix(amt, start, ps: int, win: int, dtype):
     The source index is computed on the small ``(B, Q, ps)`` tensor and
     the band materialized as one equality over the 4-D shape, keeping the
     integer mod off the full ``(B, Q, ps, win)`` operand.
+
+    ``rev`` (B,) bool reverses the OUTPUT row order per sample — this is
+    how RandomRotate's spatial flips are folded into the shift matmuls for
+    free (index math on the small tensor) instead of running flip+select
+    passes over the full windows afterwards.
     """
     alpha, s0, s1 = modf_shift_components(amt)          # (B, Q)
-    y_out = start[:, None, None].astype(jnp.int32) + \
-        jnp.arange(ps, dtype=jnp.int32)[None, None, :]           # (B, 1, ps)
+    idx = jnp.arange(ps, dtype=jnp.int32)
+    if rev is None:
+        idx = idx[None, :]                                       # (1, ps)
+    else:
+        idx = jnp.where(rev[:, None], ps - 1 - idx[None, :],
+                        idx[None, :])                            # (B, ps)
+    y_out = start[:, None, None].astype(jnp.int32) + idx[:, None, :]
     y_in = jnp.arange(win, dtype=jnp.int32)
 
     def band(s):
@@ -101,11 +111,27 @@ def _spatial_T(x, ps: int):
         b, q, ps, ps * 3)
 
 
-def augment_packed(img, aug, ps: int, views: int):
+def augment_packed(img, aug, ps: int, views: int,
+                   parity_split: bool = False, fold: bool = False):
     """Augment packed image windows ``(B, win, win, CI)`` → four view
-    stacks ``(B, views, ps, ps, 3)`` fp32.
+    stacks ``(B, views, ps, ps, 3)`` fp32 (or, with ``fold=True``, four
+    model-layout stacks ``(B, ps, ps, views*3)``).
 
     ``aug`` is pipeline.AugParams (host-sampled).  See module docstring.
+
+    ``parity_split=True`` asserts the host-side contract that the first
+    ``B//2`` samples carry EVEN rot_k (0/2) and the rest ODD (1/3)
+    (DevicePipeline stratified sampling).  The rotation's per-sample
+    transpose then becomes ONE static half-batch transpose instead of a
+    both-branches-materialized ``jnp.where``.
+
+    ``fold=True`` is the TPU training path: the rotation relabel, color
+    mix and brightness combine into ONE per-sample ``(4n·3, n·3)``-class
+    matrix and a single einsum emits the stacks directly in the model's
+    folded channel order (view*3+color — FeedForward._fold) — no
+    intermediate with a 3-element minor dim is ever materialized (the
+    (8,128) tiling pads a 3-lane tensor 42×; the naive unpack + model
+    re-fold cost ~25 ms/step at bs=128 on v5e).
     """
     b, win = img.shape[0], img.shape[1]
     q = N_STACKS * views
@@ -127,32 +153,64 @@ def augment_packed(img, aug, ps: int, views: int):
 
     hp = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
-    # rows: H-shift + row crop
-    r1 = _shift_matrix(row_amt, y0, ps, win, dtype)
+    # RandomRotate's flips fold into the shift matrices as per-sample
+    # output-row reversals (see the k-case analysis: lane-spatial flip ↔
+    # R1's output rows, row flip ↔ R2's) — the post-hoc flip+select
+    # passes of the naive formulation disappear entirely
+    k1 = aug.rot_k
+    rev1 = (k1 == 2) | (k1 == 3)      # flip of the R1-produced (lane) axis
+    rev2 = (k1 == 1) | (k1 == 2)      # flip of the R2-produced (row) axis
+
+    # rows: H-shift + row crop (+ folded flip)
+    r1 = _shift_matrix(row_amt, y0, ps, win, dtype, rev=rev1)
     x1 = jnp.einsum('bqyY,bqYl->bqyl', r1, x0, precision=hp)
 
-    # transpose, then cols become rows: W-shift + col crop
+    # transpose, then cols become rows: W-shift + col crop (+ folded flip)
     x1t = x1.reshape(b, q, ps, win, 3).swapaxes(2, 3).reshape(
         b, q, win, ps * 3)
-    r2 = _shift_matrix(col_amt, x0_off, ps, win, dtype)
+    r2 = _shift_matrix(col_amt, x0_off, ps, win, dtype, rev=rev2)
     x2 = jnp.einsum('bqyY,bqYl->bqyl', r2, x1t, precision=hp)
     # x2 is (B, Q, ps, ps*3) in TRANSPOSED spatial orientation (x, y*3+c)
 
-    # rotation 1/2: stack/view relabel as a one-hot matmul over Q
+    # rotation 2/2 (spatial): the remaining per-sample transpose.  The
+    # data is in TRANSPOSED orientation and the net rotation map is
+    # (folded flips) ∘ Tᵏ⁺¹ — odd k needs NO transpose
+    def transpose_step(xq):
+        if parity_split:
+            # host contract: rot_k[:B//2] even, rot_k[B//2:] odd — one
+            # static half-batch transpose, no select
+            b2 = b // 2
+            return jnp.concatenate(
+                [_spatial_T(xq[:b2], ps), xq[b2:]], axis=0)
+        k = aug.rot_k[:, None, None, None]
+        return jnp.where((k % 2) == 1, xq, _spatial_T(xq, ps))
+
     qin = jnp.asarray(_relabel_table(views))[aug.rot_k]          # (B, Q)
+    n3 = views * 3
+
+    if fold:
+        # one fused contraction: rotation relabel ⊗ color mix (+ folded
+        # brightness) as a per-sample (Q·3, Q, 3) operator, output
+        # directly in the model's folded (B, ps, ps, stack·view·color)
+        # lane order — the only big pass over the windows in the tail
+        z2 = transpose_step(x2).reshape(b, q, ps, ps, 3)
+        perm = jax.nn.one_hot(qin, q, dtype=jnp.float32)         # (B, P, Q)
+        m = perm[:, :, None, :, None] * aug.color[:, None, :, None, :]
+        m = m * aug.brightness[:, None, None, None, None]
+        m = m.reshape(b, q * 3, q, 3)                     # P = (p, d)
+        out = jnp.einsum('bqyxc,bPqc->byxP', z2.astype(jnp.float32), m,
+                         precision=jax.lax.Precision.HIGHEST)
+        pivot = jnp.mean(out[..., :n3], axis=(1, 2, 3)) * \
+            (1.0 - aug.contrast)                                 # (B,)
+        out = out * aug.contrast[:, None, None, None] + \
+            pivot[:, None, None, None]
+        return tuple(out[..., s * n3:(s + 1) * n3]
+                     for s in range(N_STACKS))
+
+    # rotation 1/2: stack/view relabel as a one-hot matmul over Q
     perm = jax.nn.one_hot(qin, q, dtype=dtype)                   # (B, Qo, Qi)
     x3 = jnp.einsum('bpq,bqyl->bpyl', perm, x2, precision=hp)
-
-    # rotation 2/2: spatial part.  x3 is transposed, the net rotation map
-    # is flips ∘ Tᵏ⁺¹ — so odd k needs NO transpose here
-    k = aug.rot_k[:, None, None, None]
-    x3t = _spatial_T(x3, ps)
-    x4 = jnp.where((k % 2) == 1, x3, x3t)
-    frow = (k == 1) | (k == 2)
-    flane = (k == 2) | (k == 3)
-    x5 = jnp.where(frow, jnp.flip(x4, axis=2), x4)
-    x5r = x5.reshape(b, q, ps, ps, 3)
-    x6 = jnp.where(flane[..., None], jnp.flip(x5r, axis=3), x5r)
+    x6 = transpose_step(x3).reshape(b, q, ps, ps, 3)
 
     # color mix + brightness (elementwise epilogue; fp32 from here)
     x6 = x6.astype(jnp.float32)
@@ -170,17 +228,27 @@ def augment_packed(img, aug, ps: int, views: int):
     return x8[:, 0], x8[:, 1], x8[:, 2], x8[:, 3]
 
 
-def _rot_spatial(x, k, ps: int):
-    """flips ∘ Tᵗ rotation of (B, ps, ps, C) maps (normal orientation)."""
-    xt = x.swapaxes(1, 2)
-    out = jnp.where((k % 2)[:, None, None, None] == 1, xt, x)
+def _rot_spatial(x, k, ps: int, parity_split: bool = False):
+    """flips ∘ Tᵗ rotation of (B, ps, ps, C) maps (normal orientation).
+
+    With ``parity_split`` (rot_k[:B//2] even / rest odd, see
+    augment_packed) the transpose-select becomes a static half-batch
+    transpose; the flips stay as selects (cheap at these channel counts).
+    """
+    if parity_split:
+        b2 = x.shape[0] // 2
+        out = jnp.concatenate([x[:b2], x[b2:].swapaxes(1, 2)], axis=0)
+    else:
+        xt = x.swapaxes(1, 2)
+        out = jnp.where((k % 2)[:, None, None, None] == 1, xt, x)
     frow = ((k == 1) | (k == 2))[:, None, None, None]
     flane = ((k == 2) | (k == 3))[:, None, None, None]
     out = jnp.where(frow, jnp.flip(out, axis=1), out)
     return jnp.where(flane, jnp.flip(out, axis=2), out)
 
 
-def augment_targets(aux, mpi, aug, ps: int, planes: int, with_mpi: bool):
+def augment_targets(aux, mpi, aug, ps: int, planes: int, with_mpi: bool,
+                    parity_split: bool = False):
     """gt / mask / MPI side of the chain: scalar shift correction, crop,
     rotation (mask deliberately NOT rotated — reference quirk)."""
     b, win = aux.shape[0], aux.shape[1]
@@ -196,7 +264,7 @@ def augment_targets(aux, mpi, aug, ps: int, planes: int, with_mpi: bool):
     gtm = crop(aux[..., :2])
     gt = gtm[..., 0] - aug.shift[:, None, None]
     mask = gtm[..., 1].astype(jnp.int32)
-    gt = _rot_spatial(gt[..., None], aug.rot_k, ps)[..., 0]
+    gt = _rot_spatial(gt[..., None], aug.rot_k, ps, parity_split)[..., 0]
 
     if not with_mpi:
         mpi_out = jnp.zeros((b, planes, ps, ps, 5), jnp.float32)
@@ -208,6 +276,6 @@ def augment_targets(aux, mpi, aug, ps: int, planes: int, with_mpi: bool):
     ch = ch & (jnp.arange(mpi.shape[-1]) < planes * 5)
     mpi = mpi - aug.shift[:, None, None, None] * ch.astype(mpi.dtype)
     mpi = crop(mpi)
-    mpi = _rot_spatial(mpi, aug.rot_k, ps)
+    mpi = _rot_spatial(mpi, aug.rot_k, ps, parity_split)
     mpi = mpi[..., :planes * 5].reshape(b, ps, ps, planes, 5)
     return gt, jnp.transpose(mpi, (0, 3, 1, 2, 4)), mask

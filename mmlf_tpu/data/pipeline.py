@@ -474,7 +474,8 @@ def gather_windows(cache: PackedCache, batch: DeviceBatch,
 
 
 def gather_augment(cache: PackedCache, batch: DeviceBatch, ps: int,
-                   win: int, with_mpi: bool = True, mesh=None):
+                   win: int, with_mpi: bool = True, mesh=None,
+                   parity: bool = False, fold: bool = False):
     """Fused TPU input path: Pallas DMA window gather + matmul-domain
     augmentation, straight from the packed pyramid to model-ready stacks.
 
@@ -482,8 +483,18 @@ def gather_augment(cache: PackedCache, batch: DeviceBatch, ps: int,
     tests/test_augment2.py) but never materializes windows in the
     gather-hostile per-view stack layout; see data/augment2.py.
 
+    ``parity=True`` requires a batch sampled with DevicePipeline's
+    stratified rotations (first half even rot_k, second half odd — see
+    sample_batch); the rotation then costs one static half-batch
+    transpose instead of materializing both orientations.
+
+    ``fold=True`` returns the stacks pre-folded to the model layout
+    ``(B, ps, ps, n*3)`` (pass ``folded=True`` to FeedForward) — the
+    augmentation epilogue emits that layout directly, skipping every
+    3-minor-dim intermediate (see augment2.augment_packed).
+
     :returns: ``(h, v, i, d, gt, mpi, mask)`` with stacks
-        ``(B, n, ps, ps, 3)`` fp32.
+        ``(B, n, ps, ps, 3)`` fp32 (folded: ``(B, ps, ps, n*3)``).
     """
     from ..ops.pallas.window_gather import window_gather
     from .augment2 import augment_packed, augment_targets
@@ -491,9 +502,10 @@ def gather_augment(cache: PackedCache, batch: DeviceBatch, ps: int,
     img, aux, mpi = window_gather(
         cache.img, cache.aux, cache.mpi, batch.scene, batch.factor - 1,
         batch.ws_y, batch.ws_x, win, with_mpi=with_mpi, mesh=mesh)
-    h, v, i, d = augment_packed(img, batch.aug, ps, cache.views)
+    h, v, i, d = augment_packed(img, batch.aug, ps, cache.views,
+                                parity_split=parity, fold=fold)
     gt, mpi, mask = augment_targets(aux, mpi, batch.aug, ps, MAX_PLANES,
-                                    with_mpi)
+                                    with_mpi, parity_split=parity)
     return h, v, i, d, gt, mpi, mask
 
 
@@ -516,6 +528,27 @@ class DevicePipeline(TrainPipeline):
         self.cache = build_device_cache(self.scenes, self.max_f, sharding,
                                         img_dtype=img_dtype)
 
+    def _stratified_rot(self, batch_size: int) -> np.ndarray:
+        """Rotations with the parity contract gather_augment(parity=True)
+        exploits: within each gradient-accumulation microbatch chunk, the
+        first half draws EVEN k (0/2) and the second half ODD k (1/3).
+
+        The per-sample marginal stays uniform over {0,1,2,3} and samples
+        are independent of their slot, so the augmentation distribution is
+        unchanged; only the per-batch parity counts are fixed (a mild,
+        documented variance-reduction deviation from iid draws).
+        """
+        accum = max(1, int(getattr(self.cfg, 'train_accum', 1) or 1))
+        chunk = batch_size // accum if accum > 1 and \
+            batch_size % accum == 0 else batch_size
+        out = np.empty(batch_size, np.int32)
+        for c0 in range(0, batch_size, chunk):
+            n = min(chunk, batch_size - c0)
+            h = n // 2
+            out[c0:c0 + h] = self.rng.integers(0, 2, h) * 2
+            out[c0 + h:c0 + n] = self.rng.integers(0, 2, n - h) * 2 + 1
+        return out
+
     def sample_batch(self, batch_size: int) -> DeviceBatch:
         scene_idx = self.rng.integers(0, len(self.scenes), batch_size)
         factors = self.rng.integers(1, self.max_f + 1, batch_size)
@@ -532,7 +565,7 @@ class DevicePipeline(TrainPipeline):
                 shift=self.rng.uniform(-1.0, 1.0,
                                        batch_size).astype(np.float32),
                 y_off=y_offs, x_off=x_offs,
-                rot_k=self.rng.integers(0, 4, batch_size).astype(np.int32),
+                rot_k=self._stratified_rot(batch_size),
                 color=np.stack([T.random_color_matrix(self.rng)
                                 for _ in range(batch_size)]),
                 brightness=(self.rng.uniform(-0.9, 0.9, batch_size)

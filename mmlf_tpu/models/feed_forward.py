@@ -249,7 +249,11 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, h_views, v_views, i_views=None, d_views=None,
-                 train: bool = False):
+                 train: bool = False, folded: bool = False):
+        """``folded=True`` declares the stacks pre-folded to
+        ``(b, H, W, n*3)`` view-major channel order (the layout _fold
+        produces) — the TPU input pipeline emits it directly
+        (data/augment2.py fold=True), skipping a relayout pass."""
         use_bn = not self.no_batchnorm
         kw = dict(ksize=self.ksize, use_bn=use_bn,
                   bn_momentum=self.batchnorm_momentum, dtype=self.dtype,
@@ -268,8 +272,9 @@ class FeedForward(nn.Module):
             in_net_id = stream_cls(self.in_blocks, self.chs,
                                    name='in_net_id', **kw)
 
-        x_h = self._fold(h_views).astype(self.dtype)
-        x_v = self._fold(v_views).astype(self.dtype)
+        fold = (lambda s: s) if folded else self._fold
+        x_h = fold(h_views).astype(self.dtype)
+        x_v = fold(v_views).astype(self.dtype)
 
         # orientation normalization happens in the KERNELS, not the data
         # (see OrientedConv): 't' ≡ the reference's transpose of the
@@ -280,8 +285,8 @@ class FeedForward(nn.Module):
 
         feats = [f_h, f_v]
         if not self.cross:
-            x_i = self._fold(i_views).astype(self.dtype)
-            x_d = self._fold(d_views).astype(self.dtype)
+            x_i = fold(i_views).astype(self.dtype)
+            x_d = fold(d_views).astype(self.dtype)
             f_i = in_net_id(x_i, train, 'tf')
             f_d = in_net_id(x_d, train)
             feats += [f_i, f_d]

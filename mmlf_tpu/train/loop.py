@@ -143,12 +143,21 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
     # MPI windows are only materialized when a loss actually reads them
     with_mpi = bool(cfg.train_loss_multimodal or cfg.train_loss_strongest)
     accum = max(1, int(getattr(cfg, 'train_accum', 1)))
+    # DevicePipeline stratifies rotations (even k first half / odd second,
+    # per accum chunk) so the rotation transpose is one static half-batch
+    # op; without augmentation rot_k is all-zero and the contract is off
+    parity = not cfg.train_no_data_augment
+    # the fused input path emits stacks pre-folded to the model layout
+    # (b, ps, ps, n*3) — no 3-minor-dim relayout passes (augment2 fold);
+    # the INN folds its streams itself and keeps the stack layout
+    fold = not cfg.model_inn
 
     def microbatch_grads(state: TrainState, batch, cache):
+        mkw = {'folded': True} if (use_cache and fold) else {}
         if use_cache:
             h, v, i, d, gt, mpi, mask = gather_augment(
                 cache, batch, cfg.train_ps, window_size(cfg.train_ps),
-                with_mpi=with_mpi, mesh=mesh)
+                with_mpi=with_mpi, mesh=mesh, parity=parity, fold=fold)
         else:
             h, v, i, d, gt, mpi, mask = augment_batch(batch, cfg.train_ps)
         gt, mpi, gt_classes, mask, mask_padding = prepare_targets(
@@ -160,10 +169,11 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
             if bn_train and not cfg.model_no_batchnorm:
                 output, mutated = model.apply(
                     variables, h, v, i, d, train=True,
-                    mutable=['batch_stats'])
+                    mutable=['batch_stats'], **mkw)
                 new_stats = mutated['batch_stats']
             else:
-                output = model.apply(variables, h, v, i, d, train=False)
+                output = model.apply(variables, h, v, i, d, train=False,
+                                     **mkw)
                 new_stats = state.batch_stats
             loss = compute_loss(cfg, output, gt, mpi, gt_classes, mask,
                                 mask_padding)

@@ -101,8 +101,11 @@ def probe(chs, bs, n=8, parts=('full', 'fwdbwd', 'fwd', 'gather', 'adam')):
         timeit(ffn, state.params, state.batch_stats, h, v, i, d, gt, mask,
                n=n, label='fwd only')
     if 'gather' in parts:
+        # parity=True matches the train step (DevicePipeline batches are
+        # rotation-stratified)
         gat = jax.jit(lambda c, b: gather_augment(
-            c, b, cfg.train_ps, window_size(cfg.train_ps), with_mpi=False))
+            c, b, cfg.train_ps, window_size(cfg.train_ps), with_mpi=False,
+            parity=True))
         timeit(gat, pipe.cache, db, n=n, label='gather+augment only')
     if 'adam' in parts:
         _, grads = jax.jit(jax.value_and_grad(loss_fn))(
@@ -127,7 +130,10 @@ def main():
     probe(70, 128)
     if not quick:
         probe(64, 128)
-        # superlinearity sweep (full step only)
+        # batch-scaling sweep at the reference-exact width too (out_net MXU
+        # efficiency rises with batch: 100 -> 150 TF/s going B=64 -> 128)
+        for bs in (192, 256):
+            probe(70, bs, n=6, parts=('full',))
         for bs in (64, 192, 256):
             probe(64, bs, n=6, parts=('full',))
 

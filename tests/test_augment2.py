@@ -55,6 +55,60 @@ def test_no_mpi_path(pipe):
     _compare(pipe, db, with_mpi=False)
 
 
+def test_parity_split_matches_legacy(pipe):
+    """The stratified-rotation fast path (one static half-batch transpose,
+    flips folded into the shift matrices) must equal the legacy chain for
+    every (even, odd) rotation pairing the contract allows."""
+    db = pipe.sample_batch(8)
+    # sample_batch (DevicePipeline) stratifies: first half even, rest odd
+    assert np.all(np.asarray(db.aug.rot_k[:4]) % 2 == 0)
+    assert np.all(np.asarray(db.aug.rot_k[4:]) % 2 == 1)
+    for rot in ([0, 2, 0, 2, 1, 3, 1, 3], [2, 2, 2, 2, 3, 3, 3, 3],
+                [0, 0, 2, 2, 1, 1, 3, 3]):
+        dbr = db._replace(aug=db.aug._replace(
+            rot_k=np.asarray(rot, np.int32)))
+        legacy = augment_batch(gather_windows(pipe.cache, dbr, pipe.win), 32)
+        fused = gather_augment(pipe.cache, dbr, 32, pipe.win, parity=True)
+        for name, a, b in zip(['h', 'v', 'i', 'd', 'gt', 'mpi', 'mask'],
+                              legacy, fused):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=f'field {name} diverges (rot={rot})')
+
+
+def test_fold_matches_model_fold(pipe):
+    """fold=True must equal FeedForward._fold applied to the unfolded
+    stacks (same values, model channel order view*3+color)."""
+    db = pipe.sample_batch(6)
+    plain = gather_augment(pipe.cache, db, 32, pipe.win)
+    folded = gather_augment(pipe.cache, db, 32, pipe.win, fold=True)
+    for name, a, b in zip(['h', 'v', 'i', 'd'], plain[:4], folded[:4]):
+        n = a.shape[1]
+        ref = np.transpose(np.asarray(a), (0, 2, 3, 1, 4)).reshape(
+            a.shape[0], a.shape[2], a.shape[3], n * 3)
+        np.testing.assert_allclose(ref, np.asarray(b), atol=1e-5,
+                                   err_msg=f'stack {name} diverges')
+    # targets are unaffected by fold
+    for name, a, b in zip(['gt', 'mpi', 'mask'], plain[4:], folded[4:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
+                                   err_msg=f'target {name} diverges')
+
+
+def test_fold_parity_train_layout(pipe):
+    """The exact train-step combination: parity-stratified batch,
+    fold=True — against the legacy chain + manual fold."""
+    db = pipe.sample_batch(8)
+    legacy = augment_batch(gather_windows(pipe.cache, db, pipe.win), 32)
+    fused = gather_augment(pipe.cache, db, 32, pipe.win, parity=True,
+                           fold=True)
+    for name, a, b in zip(['h', 'v', 'i', 'd'], legacy[:4], fused[:4]):
+        n = a.shape[1]
+        ref = np.transpose(np.asarray(a), (0, 2, 3, 1, 4)).reshape(
+            a.shape[0], a.shape[2], a.shape[3], n * 3)
+        np.testing.assert_allclose(ref, np.asarray(b), atol=1e-5,
+                                   err_msg=f'stack {name} diverges')
+
+
 def test_integer_shift_exact(pipe):
     """Integer disparities make the lerp degenerate — exact equality with
     the circular roll."""
