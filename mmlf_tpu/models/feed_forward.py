@@ -58,26 +58,32 @@ class OrientedConv(nn.Module):
 
     The reference normalizes EPI orientation by transposing the horizontal
     stream's activations and transposing+mirroring the increasing diagonal
-    (reference feed_forward.py:236-256).  Because every conv here pads
-    symmetrically, those activation transforms commute with convolution:
-    ``P(conv_k(P(x))) == conv_{P(k)}(x)`` (transpose the kernel's spatial
-    axes) and ``F(conv_k(F(x))) == conv_{F(k)}(x)`` (mirror the kernel; for
-    symmetric padding the lo/hi pad swap is a no-op).  Re-orienting the tiny
-    ``k×k×Cin×Cout`` kernel therefore replaces six full-activation
-    transpose/flip copies per forward — the weights stay SHARED across
-    orientations because it is the same flax parameter.
+    (reference feed_forward.py:236-256).  Those activation transforms
+    commute with convolution: ``P(conv_k(P(x))) == conv_{P(k)}(x)``
+    (transpose the kernel's spatial axes AND swap the per-axis paddings)
+    and ``F(conv_k(F(x))) == conv_{F(k)}(x)`` (mirror the kernel AND swap
+    that axis' (lo, hi) padding — a no-op for symmetric pads).
+    Re-orienting the tiny ``k×k×Cin×Cout`` kernel therefore replaces six
+    full-activation transpose/flip copies per forward — the weights stay
+    SHARED across orientations because it is the same flax parameter.
+
+    ``pad`` is either the symmetric int or per-axis ``(lo, hi)`` pairs
+    ``((hlo, hhi), (wlo, whi))`` (negative hi crops — see ConvBlock's
+    even-shape pads).
 
     Orientations: ``'n'`` identity, ``'t'`` H↔W transpose,
     ``'tf'`` transpose + mirror (the diagonal normalization).
     """
     features: int
     ksize: int
-    pad: int
+    pad: Any
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, orientation: str = 'n'):
         k, p = self.ksize, self.pad
+        pads = [(p, p), (p, p)] if isinstance(p, int) else [tuple(p[0]),
+                                                            tuple(p[1])]
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (k, k, x.shape[-1], self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros_init(),
@@ -86,6 +92,7 @@ class OrientedConv(nn.Module):
         kern = kernel
         if orientation in ('t', 'tf'):
             kern = jnp.swapaxes(kern, 0, 1)
+            pads = [pads[1], pads[0]]
         if orientation == 'tf':
             # the reference transform is permute(H↔W) then flip the
             # ORIGINAL-H axis (reference feed_forward.py:248-256); after the
@@ -95,12 +102,26 @@ class OrientedConv(nn.Module):
             # the toy networks attenuated all input signal to ~1e-7;
             # tests/test_model.py now guards input sensitivity.)
             kern = jnp.flip(kern, axis=0)
+            pads[0] = (pads[0][1], pads[0][0])
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kern.astype(self.dtype),
-            window_strides=(1, 1), padding=[(p, p), (p, p)],
+            window_strides=(1, 1), padding=pads,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         return y + bias.astype(self.dtype)
+
+
+# Even-shape padding for even-k blocks: torch's pad k//2 / k//2-1 pair
+# oscillates the spatial size (96 -> 97 -> 96); conv1 pad (p1, p1+1)
+# emits ONE extra hi column/row of garbage (it reads only zero-padding)
+# and conv2 pad (p2, p2-1) drops exactly the outputs that would touch it
+# — bit-identical math (tests/test_model.py::test_even_pads_exact).
+# MEASURED NEUTRAL on v5e (scripts/padshape_probe.py round 3: the
+# oscillation costs nothing — chain osc 378.5 ms == chain same 375.8 at
+# B=128 C=280, and bench.py is identical either way: 504.2 vs 505.8
+# patches/s), so the default stays the torch-identical pattern; the
+# machinery remains for layout experiments on other shapes.
+EVEN_PADS = False
 
 
 class ConvBlock(nn.Module):
@@ -118,6 +139,9 @@ class ConvBlock(nn.Module):
         k = self.ksize
         p1 = k // 2
         p2 = p1 if k % 2 == 1 else p1 - 1
+        if k % 2 == 0 and EVEN_PADS:
+            p1 = ((p1, p1 + 1),) * 2
+            p2 = ((p2, p2 - 1),) * 2
         x = OrientedConv(self.features, k, p1, dtype=self.dtype,
                          name='conv1')(x, self.orientation)
         x = nn.relu(x)

@@ -381,3 +381,45 @@ def test_flax_to_torch_roundtrip_unet():
             for s in stacks_np]
         np.testing.assert_allclose(fresh(*t_in)['mean'].numpy(),
                                    tmodel(*t_in)['mean'].numpy(), atol=0)
+
+
+def test_even_pads_exact():
+    """The even-shape padding reformulation (ConvBlock EVEN_PADS: conv1
+    pad (p1, p1+1), conv2 pad (p2, p2-1)) must be numerically identical to
+    torch's oscillating (p1, p1)/(p2, p2) pattern — the extra conv1
+    column is garbage that conv2's negative pad provably never reads —
+    including through the 't'/'tf' kernel+pad orientation folding."""
+    from mmlf_tpu.models import feed_forward as ff
+
+    cfg = Config(**SMALL, model_uncert=True).finalize()
+    rng = np.random.default_rng(3)
+    stacks = _stacks(rng, b=2)
+
+    saved = ff.EVEN_PADS
+    try:
+        ff.EVEN_PADS = False
+        model, variables, out_osc, mut_osc = _init_and_run(
+            cfg, stacks, train=True)
+        ff.EVEN_PADS = True
+        model2 = FeedForward.from_config(cfg)
+        out_even, mut_even = model2.apply(variables, *stacks, train=True,
+                                          mutable=['batch_stats'])
+    finally:
+        ff.EVEN_PADS = saved
+
+    np.testing.assert_allclose(np.asarray(out_osc['mean']),
+                               np.asarray(out_even['mean']),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_osc['logvar']),
+                               np.asarray(out_even['logvar']),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_osc),
+                    jax.tree_util.tree_leaves(mut_even)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    # the output must be input-sensitive for the equality to mean anything
+    stacks2 = list(stacks)
+    stacks2[2] = stacks2[2] + 0.5
+    out_pert = model2.apply(variables, *stacks2)
+    assert float(np.max(np.abs(np.asarray(out_pert['mean'])
+                               - np.asarray(out_even['mean'])))) > 1e-3
