@@ -6,13 +6,14 @@ blocks.  Two structural facts make XLA's direct convolution slow for it on
 TPU (measured, scripts/convperf_probe.py + scripts/bwd_gap_probe.py):
 
   * at chs=70 the out_net's 280 channels sit on the MXU's 128-wide LANE
-    dimension: 280 pads to 384 — a hard 73% ceiling (117.7 TF/s vs 168.6
-    at 256 channels);
-  * the reference's pad-(1,1)/(0,0) pattern oscillates the spatial size
-    (96 -> 97 -> 96) and runs the chain at 62-119 TF/s where the same
-    chain with shape-preserving pads reaches 167 TF/s fwd+bwd.
+    dimension: 280 pads to 384 — a naive 73% ceiling (117.7 TF/s vs
+    168.6 at 256 channels for the bare chain);
+  * (a second conjecture — that the reference's pad-(1,1)/(0,0) spatial
+    oscillation 96 -> 97 -> 96 costs extra — was REFUTED by round 3's
+    scripts/padshape_probe.py: oscillating and shape-preserving chains
+    time identically on v5e.)
 
-This kernel removes both: activations live per-image as ``(C, M)``
+This kernel targets the first: activations live per-image as ``(C, M)``
 canvases — channels on SUBLANES (280 -> 288, 97%), row-major pixels of a
 zero-ringed ``(H+2) x (W+2)`` canvas on LANES (stride ``S = W+2``).  A
 k=2 conv is then ONE ``(Cout, 4*Cinp) @ (4*Cinp, T)`` GEMM per pixel tile
@@ -45,6 +46,14 @@ exactly the flax convention — see models/pallas_trunk.py.
 
 Training-path only: eval/ensemble use the XLA path (BN folds into the
 conv weights there, utils/fold_bn.py).
+
+Round-3 verdict (scripts/pallas_trunk_bench.py, scripts/innet_probe.py):
+the kernel measures 117-128 TF/s device on the out_net vs ~140 for the
+XLA module — it is VMEM-shuffle-bound (the dx=1 taps are lane-offset
+reads of the canvas), and XLA's direct conv beats its own naive lane-
+padding roof, so the occupancy advantage does not materialize.  The XLA
+path is the training default; ``--pallas_trunk`` remains available,
+equivalence- and mesh-tested.
 
 Multi-device: with a >1-device mesh registered via ``set_trunk_mesh``,
 both passes run per device under ``shard_map`` on the local batch shard;
