@@ -29,7 +29,9 @@ def parse_log(path):
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else '/tmp/parity'
     names = [('BASE', 'base'), ('UPR', 'upr'), ('ESE', 'ese'),
-             ('DPP', 'dpp')]
+             ('DPP', 'dpp'),
+             # TPU-recipe width (model_chs=64, scripts/chs64_parity_run.sh)
+             ('UPR-64', 'upr64'), ('ESE-64', 'ese64')]
     print('| head | MSE ×100 | BadPix(0.07) | KLD | KLD_MM | KLD_UM | '
           'NLL | s/scene |')
     print('|---|---|---|---|---|---|---|---|')
