@@ -39,7 +39,9 @@ import sys
 import time
 
 A100_PATCHES_PER_SEC_EST = 230.0     # reference 70-ch recipe estimate
-A100_64CH_EST = A100_PATCHES_PER_SEC_EST * 270.0 / 226.0
+# 64-ch-equivalent A100 estimate: rescaled by the analytic FLOP ratio
+# (268.4 / 224.5 GF/patch, conv_flops_per_patch) ≈ 275 patches/s
+A100_64CH_EST = A100_PATCHES_PER_SEC_EST * 268.4 / 224.5
 
 V5E_PEAK_BF16 = 197e12               # TPU v5e: 197 TFLOP/s bf16 on the MXU
 
@@ -71,11 +73,16 @@ def conv_flops_per_patch(chs: int, ps: int = 96, views: int = 9,
             fl += conv(cin, chs, h1, bwd=2.0 if b == 0 else 3.0)
             fl += conv(chs, chs, h)
             cin = chs
-    # out_net: (4chs -> 4chs) x (out_blocks-1), last block conv2 -> out_chs
+    # out_net: (4chs -> 4chs) x (out_blocks-1); the LAST block already
+    # projects at conv1 (ConvBlock(features=out_chs): cat -> out_chs at
+    # (ps+1)^2, then out_chs -> out_chs at ps^2) — matching the reference
+    # architecture.  (A round-3 review found the earlier accounting
+    # modeled the last block as cat->cat + cat->out_chs, inflating MFU
+    # ~5%.)
     cat = 4 * chs
     for b in range(out_blocks - 1):
         fl += conv(cat, cat, h1) + conv(cat, cat, h)
-    fl += conv(cat, cat, h1) + conv(cat, out_chs, h)
+    fl += conv(cat, out_chs, h1) + conv(out_chs, out_chs, h)
     return fl
 
 BENCH_DATA = '/tmp/mmlf_bench_data'

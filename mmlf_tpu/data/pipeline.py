@@ -229,15 +229,16 @@ class TrainPipeline:
             w = self._cut_window(self.scenes[idx], f, ws_y, ws_x)
             return w, y_off, x_off
 
-        if batch_size > 1:
+        # honor --train_num_workers like the reference's DataLoader
+        # (train/cli.py:97-100): 0 means synchronous loading (torch
+        # convention); threads not processes, because the C++ window
+        # cutter releases the GIL
+        nw = getattr(self.cfg, 'train_num_workers', None)
+        nw = 4 if nw is None else int(nw)
+        if batch_size > 1 and nw > 0:
             from concurrent.futures import ThreadPoolExecutor
             if self._pool is None:
-                # honor --train_num_workers like the reference's DataLoader
-                # (train/cli.py:97-100); threads not processes, because the
-                # C++ window cutter releases the GIL
-                workers = max(1, int(getattr(self.cfg, 'train_num_workers',
-                                             4) or 4))
-                self._pool = ThreadPoolExecutor(max_workers=workers)
+                self._pool = ThreadPoolExecutor(max_workers=nw)
                 import weakref
                 weakref.finalize(self, self._pool.shutdown, wait=False)
             results = list(self._pool.map(cut, draws))
@@ -471,6 +472,27 @@ def gather_windows(cache: PackedCache, batch: DeviceBatch,
                         (0, 3, 1, 2, 4))
     return Batch(h=stack_of(0), v=stack_of(1), i=stack_of(2), d=stack_of(3),
                  gt=gt, mpi=mpi, mask=mask, aug=batch.aug)
+
+
+def check_rot_parity(rot_k, accum: int = 1) -> None:
+    """Host-side guard for the gather_augment(parity=True) contract:
+    within each accum chunk, rot_k[:chunk//2] even and the rest odd.
+    Call on the HOST batch (numpy) — a violated contract would silently
+    rotate stacks differently from their gt targets inside jit."""
+    rot_k = np.asarray(rot_k)
+    b = rot_k.shape[0]
+    chunk = b // accum if accum > 1 and b % accum == 0 else b
+    for c0 in range(0, b, chunk):
+        n = min(chunk, b - c0)
+        h = n // 2
+        bad = (np.any(rot_k[c0:c0 + h] % 2 != 0)
+               or np.any(rot_k[c0 + h:c0 + n] % 2 != 1))
+        if bad:
+            raise ValueError(
+                'rotation parity contract violated (first half of each '
+                'accum chunk must be even rot_k, second half odd) — was '
+                'this batch sampled by DevicePipeline with augmentation '
+                'on?')
 
 
 def gather_augment(cache: PackedCache, batch: DeviceBatch, ps: int,

@@ -282,7 +282,14 @@ class FeedForward(nn.Module):
         kw = dict(ksize=self.ksize, use_bn=use_bn,
                   bn_momentum=self.batchnorm_momentum, dtype=self.dtype,
                   remat=self.remat)
-        pallas = self.pallas_trunk and self.ksize == 2 and not self.unet
+        # the canvas kernel is the TRAINING path only (conv_block.py): its
+        # lane layout asserts width <= TILE-3, which full-scene eval
+        # (in-train validation, validate CLI on checkpoints that persisted
+        # pallas_trunk=True) would violate — eval always takes the XLA
+        # path (the parameter trees are twins, so switching per-call is
+        # safe)
+        pallas = self.pallas_trunk and self.ksize == 2 and not self.unet \
+            and train
 
         if pallas:
             from .pallas_trunk import PallasStreamNet

@@ -374,9 +374,17 @@ def train(cfg: Config, output_dir: str,
     time_start = 0.0
 
 
+    parity_guard = cache is not None and not cfg.train_no_data_augment
+    accum_n = max(1, int(getattr(cfg, 'train_accum', 1)))
+
     try:
         while True:
             batch = pipeline.sample_batch(cfg.train_bs)
+            if parity_guard:
+                # cheap host-side check of the stratified-rotation contract
+                # the in-step parity transpose relies on (pipeline.py)
+                from ..data.pipeline import check_rot_parity
+                check_rot_parity(batch.aug.rot_k, accum_n)
             if mesh is not None:
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, b_shard), batch)
@@ -385,7 +393,8 @@ def train(cfg: Config, output_dir: str,
                          and i >= cfg.train_eval_mode_start)
             if eval_mode and step_eval is None:
                 step_eval = make_train_step(cfg, model, tx, bn_train=False,
-                                            use_cache=cache is not None)
+                                            use_cache=cache is not None,
+                                            mesh=mesh)
             # observability (SURVEY §5: the reference has none beyond wall
             # clock): optional profiler trace of steady-state steps + NaN guard
             if cfg.train_profile and i == 10:

@@ -210,12 +210,18 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
     sdim_cache: dict = {}
     met_cache: dict = {}
 
+    # device-side canvas pad (per-(shape, pad) jit cache) — np.pad here
+    # would round-trip all four full-scene stacks through the host
+    pad_jit = jax.jit(
+        lambda s, dh, dw: jnp.pad(
+            s, [(0, 0), (0, 0), (0, dh), (0, dw), (0, 0)]),
+        static_argnums=(1, 2))
+
     def scene_eval(variables, h, v, i, d, gt, mpi):
         ht, wt = int(h.shape[2]), int(h.shape[3])
         hc = -(-ht // val_tile) * val_tile
         wc = -(-wt // val_tile) * val_tile
-        pads = [(0, 0), (0, 0), (0, hc - ht), (0, wc - wt), (0, 0)]
-        stacks = [jnp.asarray(np.pad(np.asarray(s), pads))
+        stacks = [pad_jit(jnp.asarray(s), hc - ht, wc - wt)
                   for s in (h, v, i, d)]
         pos = tile_positions(ht, wt, val_tile, halo,
                              pad_to=(hc // val_tile) * (wc // val_tile))

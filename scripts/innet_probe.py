@@ -262,7 +262,10 @@ def main():
     from mmlf_tpu.models.pallas_trunk import PallasOutNet
     xo = jnp.asarray(rng.standard_normal((B, H, H, 280)) * 0.3,
                      jnp.float32)
-    fl_o = 3 * (2 * 7 + 1 + 4) * B * H * H * 4 * 280 * 280 * 2
+    # 7 full blocks (2 convs each, 97^2/96^2) + last block projecting at
+    # conv1 (280->2 at 97^2, then 2->2) — see bench.conv_flops_per_patch
+    fl_o = 3 * 2 * 4 * B * (280 * 280 * 7 * ((H + 1) ** 2 + H * H)
+                            + 280 * 2 * (H + 1) ** 2 + 2 * 2 * H * H)
 
     onet = OutNet(8, 280, 2, 2, True, 0.1, dtype=DT)
     vo = onet.init(jax.random.PRNGKey(0), xo, True)

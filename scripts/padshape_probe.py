@@ -139,8 +139,9 @@ def main():
     from mmlf_tpu.models.feed_forward import OutNet
     onet = OutNet(8, C, 2, 2, True, 0.1, dtype=DT)
     v = onet.init(jax.random.PRNGKey(0), x.astype(jnp.float32), True)
-    fl_o = B * 3 * 2 * 4 * C * (C * (7 * (97 * 97 + 96 * 96) + 97 * 97)
-                                + 2 * 96 * 96)
+    # last block projects at conv1 (ConvBlock(features=out_chs))
+    fl_o = B * 3 * 2 * 4 * (C * C * 7 * (97 * 97 + 96 * 96)
+                            + C * 2 * 97 * 97 + 2 * 2 * 96 * 96)
 
     def loss_o(p, x):
         out, _ = onet.apply({'params': p, 'batch_stats': v['batch_stats']},

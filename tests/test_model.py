@@ -423,3 +423,20 @@ def test_even_pads_exact():
     out_pert = model2.apply(variables, *stacks2)
     assert float(np.max(np.abs(np.asarray(out_pert['mean'])
                                - np.asarray(out_even['mean'])))) > 1e-3
+
+
+def test_pallas_trunk_eval_uses_xla_path():
+    """--pallas_trunk is a TRAINING-path optimization; eval (in-train
+    validation, validate CLI on checkpoints that persisted the flag) must
+    take the XLA path — the canvas layout asserts width <= TILE-3 and
+    would crash on full scenes (round-3 review finding)."""
+    cfg = Config(**SMALL, model_uncert=True).finalize()
+    cfg.pallas_trunk = True
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(0)
+    # width 300 > conv_block.TILE - 3: the canvas path would assert
+    stacks = [jnp.asarray(rng.random((1, 3, 8, 300, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    out = model.apply(variables, *stacks)          # train=False -> XLA
+    assert out['mean'].shape == (1, 8, 300)
