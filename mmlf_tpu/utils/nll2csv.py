@@ -20,18 +20,17 @@ import numpy as np
 @click.option('--start', default=-3.5, help='lower limit')
 @click.option('--stop', default=3.5, help='upper limit')
 def main(input, output, x, y, start, stop):
-    nll = np.load(input)
-    if nll.ndim == 4:
-        nll = nll[0]
-    nll = nll[:, y, x]
-    lh = np.exp(-nll)
+    scores = np.load(input)
+    pixel_nll = (scores[0] if scores.ndim == 4 else scores)[:, y, x]
+    n_bins = pixel_nll.shape[0]
 
     # bin index -> disparity on the [start, stop) grid (no stop endpoint:
     # reference parity), one CSV row per class
-    disp = np.arange(nll.shape[0]) / nll.shape[0] * (stop - start) + start
+    disp = start + (stop - start) * np.arange(n_bins) / n_bins
+    rows = np.column_stack([disp, np.exp(-pixel_nll)])
     with open(output, 'w') as f:
         f.write('disparity, likelihood\n')
-        f.writelines(f'{d}, {l}\n' for d, l in zip(disp, lh))
+        f.writelines(f'{d}, {l}\n' for d, l in rows)
 
 
 if __name__ == '__main__':

@@ -1,0 +1,154 @@
+"""Multi-chip scaling analysis from the compiled SPMD program.
+
+No multi-chip slice is reachable from this environment (single tunneled
+v5e chip), so this quantifies the data-parallel scaling story the honest
+way that IS available: compile the REAL sharded train step (full flagship
+config) over an n-device mesh, extract every collective XLA inserted from
+the optimized HLO (op kind + element type + byte volume), and project
+step-time overhead against v5e ICI bandwidth.  The numbers land in
+docs/SCALING.md.
+
+The collective volume of a data-parallel step is batch-size independent
+(one gradient/BN-stat all-reduce of parameter/stat size), so the
+projection holds for any per-chip batch; compute time per chip is the
+measured single-chip step (bench.py / docs/STATUS.md).
+
+Run: python scripts/scaling_analysis.py [n_devices]
+"""
+
+import os
+import re
+import sys
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+import jax  # noqa: E402
+
+# the env sitecustomize pins jax_platforms to 'axon,cpu' at CONFIG level,
+# which outranks JAX_PLATFORMS — counter it before any backend init, or
+# this script hangs trying to claim the (single-tenant) TPU relay
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', N)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from mmlf_tpu.config import Config  # noqa: E402
+from mmlf_tpu.models import FeedForward  # noqa: E402
+from mmlf_tpu.parallel.mesh import make_mesh, batch_sharding, replicated  # noqa: E402
+from mmlf_tpu.train.loop import init_state, make_train_step  # noqa: E402
+
+DTYPE_BYTES = {'f64': 8, 'f32': 4, 'bf16': 2, 'f16': 2, 'u64': 8, 's64': 8,
+               'u32': 4, 's32': 4, 'u16': 2, 's16': 2, 'u8': 1, 's8': 1,
+               'pred': 1}
+COLLECTIVES = ('all-reduce', 'all-gather', 'reduce-scatter',
+               'collective-permute', 'all-to-all')
+
+# v5e ICI: 2-D torus, ~45 GB/s per link per direction, 4 neighbor links
+# per chip (scaling-book figures).  A ring/tree all-reduce of G bytes
+# moves ~2G per chip; with r rings usable for a 1-D data axis on the
+# torus, time ~= 2G / (r * W_link).  We use r=2 (both directions of one
+# torus dimension) as the conservative single-axis figure.
+ICI_LINK_GBPS = 45.0e9
+ALLREDUCE_BW = 2 * ICI_LINK_GBPS  # effective bytes/s divisor for 2G
+
+
+def shape_bytes(type_str: str) -> int:
+    """Sum byte sizes of every `dtype[d0,d1,...]` in an HLO type string."""
+    total = 0
+    for dt, dims in re.findall(r'(\w+)\[([\d,]*)\]', type_str):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(','):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def collect(hlo_text: str):
+    """(kind -> [(bytes, line_head)]) for every collective in the HLO."""
+    out = {}
+    for line in hlo_text.splitlines():
+        m = re.match(r'\s*(?:ROOT\s+)?%?[\w.-]+\s*=\s*(.+?)\s+([\w-]+)\(',
+                     line)
+        if not m:
+            continue
+        type_str, op = m.groups()
+        # fusions wrap collectives only in rare cases; match plain ops
+        kind = next((c for c in COLLECTIVES if op == c or
+                     op.startswith(c + '-start')), None)
+        if kind:
+            out.setdefault(kind, []).append(
+                (shape_bytes(type_str), line.strip()[:110]))
+    return out
+
+
+def main():
+    import tempfile
+
+    from mmlf_tpu.data.hci4d import HCI4D
+    from mmlf_tpu.data.pipeline import DevicePipeline
+    from mmlf_tpu.data.synth import generate_dataset
+
+    mesh = make_mesh(n_data=N, devices=jax.devices()[:N])
+    cfg = Config(model_chs=70, model_in_blocks=3, model_out_blocks=8,
+                 model_uncert=True, train_ps=96, train_bs=N,
+                 train_lr=1e-3, train_warm_start=True, bf16=True,
+                 train_max_downscale=1,
+                 ).finalize()
+    model = FeedForward.from_config(cfg)
+    tx = optax.scale_by_adam()
+    state = init_state(cfg, model, tx, [jnp.zeros((1, 9, 96, 96, 3))] * 4)
+    state = jax.device_put(state, replicated(mesh))
+
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
+    grad_bytes = 4 * n_params
+
+    # the REAL sharded production program: replicated packed cache,
+    # index-only sharded batch, in-step gather + augment (same path the
+    # driver's dryrun_multichip executes)
+    data_dir = os.path.join(tempfile.gettempdir(), 'mmlf_dryrun_data160')
+    if not os.path.exists(os.path.join(data_dir, 'scene_00')):
+        generate_dataset(data_dir, scenes=2, size=160, seed=0)
+    pipe = DevicePipeline(HCI4D(data_dir, cache=True), cfg, seed=0,
+                          sharding=replicated(mesh))
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)),
+        pipe.sample_batch(cfg.train_bs))
+
+    step = make_train_step(cfg, model, tx, use_cache=True, mesh=mesh)
+    lowered = jax.jit(step).lower(state, batch, pipe.cache)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+
+    colls = collect(hlo)
+    print(f'mesh: {mesh.shape}, params: {n_params:,} '
+          f'({grad_bytes / 1e6:.1f} MB fp32 grads)')
+    total = 0
+    for kind, items in sorted(colls.items()):
+        b = sum(x for x, _ in items)
+        total += b
+        print(f'  {kind:20s} x{len(items):3d}  {b / 1e6:8.2f} MB/step')
+        for sz, head in sorted(items, reverse=True)[:3]:
+            print(f'      {sz / 1e6:8.2f} MB  {head}')
+    print(f'  {"TOTAL":20s}       {total / 1e6:8.2f} MB/step')
+
+    t_comm = 2 * total / ALLREDUCE_BW
+    print(f'\nprojection (v5e ICI, ring all-reduce over one torus axis):')
+    print(f'  comm time/step ~= 2*{total / 1e6:.1f} MB / {ALLREDUCE_BW / 1e9:.0f} GB/s '
+          f'= {t_comm * 1e3:.2f} ms (N-independent for ring)')
+    for step_ms in (340.0, 253.0):
+        eff = step_ms / (step_ms + t_comm * 1e3)
+        print(f'  vs {step_ms:.0f} ms/chip step: scaling efficiency '
+              f'{eff * 100:.2f}% at any N on one torus axis')
+
+
+if __name__ == '__main__':
+    main()
