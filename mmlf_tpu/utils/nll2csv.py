@@ -12,6 +12,20 @@ import click
 import numpy as np
 
 
+def pixel_likelihood_rows(scores: np.ndarray, x: int, y: int,
+                          start: float, stop: float) -> np.ndarray:
+    """(n_bins, 2) array of [disparity, likelihood] for one pixel.
+
+    ``scores`` is a (bins, h, w) or (1, bins, h, w) NLL volume as written
+    by the validate CLI. Bin centers lie on the half-open [start, stop)
+    grid — no stop endpoint, matching the reference's bin convention.
+    """
+    pixel_nll = (scores[0] if scores.ndim == 4 else scores)[:, y, x]
+    n_bins = pixel_nll.shape[0]
+    disp = start + (stop - start) * np.arange(n_bins) / n_bins
+    return np.column_stack([disp, np.exp(-pixel_nll)])
+
+
 @click.command()
 @click.argument('input', type=click.Path(exists=True))
 @click.argument('output', type=click.Path())
@@ -20,14 +34,7 @@ import numpy as np
 @click.option('--start', default=-3.5, help='lower limit')
 @click.option('--stop', default=3.5, help='upper limit')
 def main(input, output, x, y, start, stop):
-    scores = np.load(input)
-    pixel_nll = (scores[0] if scores.ndim == 4 else scores)[:, y, x]
-    n_bins = pixel_nll.shape[0]
-
-    # bin index -> disparity on the [start, stop) grid (no stop endpoint:
-    # reference parity), one CSV row per class
-    disp = start + (stop - start) * np.arange(n_bins) / n_bins
-    rows = np.column_stack([disp, np.exp(-pixel_nll)])
+    rows = pixel_likelihood_rows(np.load(input), x, y, start, stop)
     with open(output, 'w') as f:
         f.write('disparity, likelihood\n')
         f.writelines(f'{d}, {l}\n' for d, l in rows)
