@@ -156,9 +156,34 @@ def measure(cfg_kwargs, batch, measure=MEASURE, label=''):
     return batch / dt_async, batch / dt_sync
 
 
+def _heartbeat_while_acquiring():
+    """Print a stderr heartbeat until device acquisition finishes.
+
+    The tunneled axon relay can wedge (all clients hang inside
+    ``jax.devices()`` — docs/RELAY.md); the pool watchdog heals it after
+    a while.  Without this, a wedged relay makes the bench hang with no
+    output at all.
+    """
+    import threading
+    done = threading.Event()
+    t0 = time.time()
+
+    def beat():
+        while not done.wait(60.0):
+            print(f'still waiting for the TPU device '
+                  f'({time.time() - t0:.0f}s elapsed) — the axon relay '
+                  f'may be wedged; it self-heals (docs/RELAY.md)',
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
+    return done
+
+
 def main():
     import jax
+    acquired = _heartbeat_while_acquiring()
     print(f'device: {jax.devices()[0]}', file=sys.stderr)
+    acquired.set()
 
     pps, pps_sync = measure({'model_chs': 64}, BATCH, label='chs=64 recipe')
     # bs=128 is the per-patch sweet spot for chs=70 too (round-3 ablation:
