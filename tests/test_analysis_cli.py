@@ -128,6 +128,24 @@ def test_csv_exporters(artifacts, tmp_path):
     assert r.exit_code == 0, r.output
 
 
+def test_pixel_likelihood_rows():
+    """nll2csv core: [start, stop) bin grid + likelihood = exp(-nll),
+    with and without the leading batch axis."""
+    from mmlf_tpu.utils.nll2csv import pixel_likelihood_rows
+
+    nll = np.random.rand(108, 8, 8).astype(np.float32) * 5
+    rows = pixel_likelihood_rows(nll, x=3, y=2, start=-3.5, stop=3.5)
+    assert rows.shape == (108, 2)
+    # half-open grid: first bin at start, stop never reached
+    assert rows[0, 0] == -3.5 and rows[-1, 0] < 3.5
+    np.testing.assert_allclose(np.diff(rows[:, 0]), 7.0 / 108, rtol=1e-12)
+    np.testing.assert_allclose(rows[:, 1], np.exp(-nll[:, 2, 3]),
+                               rtol=1e-6)
+    # 4-D input uses the first batch element
+    rows4 = pixel_likelihood_rows(nll[None], x=3, y=2, start=-3.5, stop=3.5)
+    np.testing.assert_array_equal(rows, rows4)
+
+
 def test_edges_cli(tmp_path):
     from mmlf_tpu.validate.edges import main
     scene = tmp_path / 'ds' / 's0'
