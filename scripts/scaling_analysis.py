@@ -23,7 +23,9 @@ import sys
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+ARGS = [a for a in sys.argv[1:] if a != '--space']
+SPACE = '--space' in sys.argv[1:]
+N = int(ARGS[0]) if ARGS else 8
 
 import jax  # noqa: E402
 
@@ -89,6 +91,56 @@ def collect(hlo_text: str):
     return out
 
 
+def report(hlo: str) -> float:
+    """Print the per-chip collective table from optimized HLO; MB/step."""
+    colls = collect(hlo)
+    total = 0
+    for kind, items in sorted(colls.items()):
+        b = sum(x for x, _ in items)
+        total += b
+        print(f'  {kind:20s} x{len(items):3d}  {b / 1e6:8.2f} MB/step')
+        for sz, head in sorted(items, reverse=True)[:3]:
+            print(f'      {sz / 1e6:8.2f} MB  {head}')
+    print(f'  {"TOTAL":20s}       {total / 1e6:8.2f} MB/step')
+    return total
+
+
+def main_space():
+    """Spatially-sharded full-scene inference (--mesh_space analogue):
+    collective volume of the halo exchanges XLA inserts for the conv
+    trunk when a 512x512 scene's H axis is sharded over ``space``."""
+    from mmlf_tpu.parallel.mesh import spatial_sharding
+    from mmlf_tpu.validate.cli import make_scene_eval
+
+    cfg = Config(model_chs=70, model_in_blocks=3, model_out_blocks=8,
+                 model_uncert=True, bf16=True).finalize()
+    model = FeedForward.from_config(cfg)
+    mesh = make_mesh(n_data=1, n_space=N, devices=jax.devices()[:N])
+
+    size = 512
+    stacks = [jnp.zeros((1, 9, size, size, 3))] * 4
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    variables = jax.device_put(variables, replicated(mesh))
+    sh = spatial_sharding(mesh, h_axis=2)
+    stacks = [jax.device_put(s, sh) for s in stacks]
+    gt = jax.device_put(jnp.zeros((1, size, size)),
+                        spatial_sharding(mesh, h_axis=1))
+    mpi = jax.device_put(jnp.zeros((1, 12, size, size, 5)),
+                         spatial_sharding(mesh, h_axis=2))
+
+    scene_eval = make_scene_eval(model, cfg, {'model_uncert': True},
+                                 val_ensamble=False, val_disp_min=-3.5,
+                                 val_disp_max=3.5, val_disp_step=0.1,
+                                 val_loss_margin=11)
+    hlo = scene_eval.lower(variables, *stacks, gt, mpi) \
+                    .compile().as_text()
+    print(f'space mesh: {mesh.shape}, scene {size}x{size}, UPR fwd+metrics')
+    total = report(hlo)
+    t_comm = 2 * total / ALLREDUCE_BW
+    print(f'\n  halo/comm time ~= {t_comm * 1e3:.2f} ms/scene '
+          f'(vs single-chip 512² fwd ~57 ms)')
+
+
 def main():
     import tempfile
 
@@ -128,17 +180,9 @@ def main():
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
-    colls = collect(hlo)
     print(f'mesh: {mesh.shape}, params: {n_params:,} '
           f'({grad_bytes / 1e6:.1f} MB fp32 grads)')
-    total = 0
-    for kind, items in sorted(colls.items()):
-        b = sum(x for x, _ in items)
-        total += b
-        print(f'  {kind:20s} x{len(items):3d}  {b / 1e6:8.2f} MB/step')
-        for sz, head in sorted(items, reverse=True)[:3]:
-            print(f'      {sz / 1e6:8.2f} MB  {head}')
-    print(f'  {"TOTAL":20s}       {total / 1e6:8.2f} MB/step')
+    total = report(hlo)
 
     t_comm = 2 * total / ALLREDUCE_BW
     print(f'\nprojection (v5e ICI, ring all-reduce over one torus axis):')
@@ -151,4 +195,4 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    main_space() if SPACE else main()
