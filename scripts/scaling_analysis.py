@@ -23,8 +23,9 @@ import sys
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ARGS = [a for a in sys.argv[1:] if a != '--space']
+ARGS = [a for a in sys.argv[1:] if not a.startswith('--')]
 SPACE = '--space' in sys.argv[1:]
+ESE = '--ese' in sys.argv[1:]
 N = int(ARGS[0]) if ARGS else 8
 
 import jax  # noqa: E402
@@ -141,6 +142,35 @@ def main_space():
           f'(vs single-chip 512² fwd ~57 ms)')
 
 
+def main_ese():
+    """Member-sharded shift ensemble (ESE validation): collective volume
+    of the 70-member scan split over the mesh — psum of the mixture
+    posterior + all-gathers for min-logvar selection and member dumps."""
+    from mmlf_tpu.models.ensemble import ensemble_forward_sharded
+
+    cfg = Config(model_chs=70, model_in_blocks=3, model_out_blocks=8,
+                 model_uncert=True, bf16=True).finalize()
+    model = FeedForward.from_config(cfg)
+    mesh = make_mesh(n_data=N, devices=jax.devices()[:N])
+
+    size = 128  # spatial extent scales every collective linearly; the
+    # per-pixel byte counts below are what matter (512² = 16x these)
+    stacks = [jnp.zeros((1, 9, size, size, 3))] * 4
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    variables = jax.device_put(variables, replicated(mesh))
+
+    ens = jax.jit(lambda v, *s: ensemble_forward_sharded(
+        lambda vv, *a: model.apply(vv, *a), v, *s,
+        -3.5, 3.5, 0.1, mesh=mesh))
+    hlo = ens.lower(variables, *stacks).compile().as_text()
+    print(f'ESE member-sharded over {N} devices, 70 members, '
+          f'scene {size}x{size}')
+    total = report(hlo)
+    t_comm = 2 * total / ALLREDUCE_BW
+    print(f'\n  comm ~= {t_comm * 1e3:.2f} ms/scene at {size}² '
+          f'(x{(512 // size) ** 2} for 512²); compute/chip drops ~{N}x')
+
+
 def main():
     import tempfile
 
@@ -195,4 +225,4 @@ def main():
 
 
 if __name__ == '__main__':
-    main_space() if SPACE else main()
+    main_ese() if ESE else main_space() if SPACE else main()
