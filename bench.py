@@ -179,10 +179,37 @@ def _heartbeat_while_acquiring():
     return done
 
 
-def main():
+def _acquire_devices(max_wait_s: float):
+    """jax.devices() with bounded retries.
+
+    A wedged relay pool rejects queued claims with ``UNAVAILABLE: TPU
+    backend setup/compile error`` (docs/RELAY.md §3), and jax caches the
+    backend-init failure for the process — so one bad window would kill
+    the bench even if the pool heals seconds later.  Retry with a
+    backend reset until the budget runs out.
+    """
     import jax
+    t0 = time.time()
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            waited = time.time() - t0
+            if waited > max_wait_s:
+                raise
+            print(f'device acquisition failed after {waited:.0f}s '
+                  f'({e}); resetting backends, retrying in 60s',
+                  file=sys.stderr, flush=True)
+            from jax.extend.backend import clear_backends
+            clear_backends()
+            time.sleep(60.0)
+
+
+def main():
     acquired = _heartbeat_while_acquiring()
-    print(f'device: {jax.devices()[0]}', file=sys.stderr)
+    devices = _acquire_devices(
+        max_wait_s=float(os.environ.get('MMLF_ACQUIRE_WAIT_S', 1800.0)))
+    print(f'device: {devices[0]}', file=sys.stderr)
     acquired.set()
 
     pps, pps_sync = measure({'model_chs': 64}, BATCH, label='chs=64 recipe')
