@@ -102,7 +102,8 @@ def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
 def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
                              i_views, d_views, disp_min: float,
                              disp_max: float, disp_step: float,
-                             mesh, axis: str = 'data'):
+                             mesh, axis: str = 'data',
+                             need_members: bool = True):
     """Shift-ensemble with the MEMBER axis sharded across the device mesh.
 
     ESE validation is the dominant inference cost (70 forwards per scene,
@@ -116,6 +117,12 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
     The grid is zero-padded to a multiple of ``n`` with dummy members that
     carry ``logvar=+inf`` and posterior weight 0, so they can never win
     the selection nor bias the mixture.
+
+    ``need_members=False`` drops the per-member ``means``/``logvars``
+    output (returned as None) and with it the two dominant all-gathers
+    of the communication budget (docs/SCALING.md "--ese") — use it when
+    the downstream consumer only needs the selected mean/logvar and the
+    mixture posterior.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -162,6 +169,8 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
         idx = jnp.argmin(all_lv, axis=0)[None]
         best_lv = jnp.take_along_axis(all_lv, idx, axis=0)[0]
         best_mean = jnp.take_along_axis(all_mean, idx, axis=0)[0]
+        if not need_members:
+            return best_mean, best_lv, post
         means = jax.lax.all_gather(means_l, axis).reshape(
             kp, b, hh, ww)[:k]
         logvars = jax.lax.all_gather(logvars_l, axis).reshape(
@@ -170,13 +179,17 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
 
     spec_m = P(axis)
     rep = P()
+    n_out = 5 if need_members else 3
     shard = jax.shard_map(
         local, mesh=mesh,
         in_specs=(spec_m, spec_m, rep, rep, rep, rep, rep),
-        out_specs=(rep, rep, rep, rep, rep), check_vma=False)
-    best_mean, best_lv, means, logvars, posterior = shard(
-        jnp.asarray(shifts_p), jnp.asarray(valid_p),
-        h_views, v_views, i_views, d_views, variables)
+        out_specs=(rep,) * n_out, check_vma=False)
+    outs = shard(jnp.asarray(shifts_p), jnp.asarray(valid_p),
+                 h_views, v_views, i_views, d_views, variables)
+    if need_members:
+        best_mean, best_lv, means, logvars, posterior = outs
+    else:
+        (best_mean, best_lv, posterior), means, logvars = outs, None, None
     return {
         'mean': best_mean,
         'logvar': best_lv,

@@ -92,21 +92,25 @@ def n_params(variables) -> int:
 @click.option('--mesh_space', default=1, type=int,
               help='TPU extension: shard each scene spatially over this '
                    'many devices (XLA SPMD halo exchange).')
+@click.option('--mesh_ensemble', default=1, type=int,
+              help='TPU extension: shard the --val_ensamble members over '
+                   'this many devices (each scans ceil(70/N) members '
+                   'locally; psum posterior + all-gather selection).')
 def main(output_dir, dataset, model_invertible, model_discrete,
          val_loss_margin, val_ensamble, val_disp_step, val_disp_min,
-         val_disp_max, train_shift, val_tile, mesh_space):
+         val_disp_max, train_shift, val_tile, mesh_space, mesh_ensemble):
     run_validation(output_dir, dataset, model_discrete=model_discrete,
                    val_loss_margin=val_loss_margin,
                    val_ensamble=val_ensamble, val_disp_step=val_disp_step,
                    val_disp_min=val_disp_min, val_disp_max=val_disp_max,
                    train_shift=train_shift, val_tile=val_tile,
-                   mesh_space=mesh_space)
+                   mesh_space=mesh_space, mesh_ensemble=mesh_ensemble)
 
 
 def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
                     val_disp_min: float, val_disp_max: float,
                     val_disp_step: float, val_loss_margin: int,
-                    n_bins: int = 108, val_tile: int = 0):
+                    n_bins: int = 108, val_tile: int = 0, mesh_ens=None):
     """One jitted program per scene shape: forward + every metric.
 
     Dozens of eager ops per scene would each pay a dispatch/compile round
@@ -121,6 +125,13 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
     """
 
     def net_forward(variables, h, v, i, d):
+        if val_ensamble and mesh_ens is not None:
+            # --mesh_ensemble: members sharded over the mesh (the member
+            # dumps stay — the analysis chain consumes them downstream)
+            from ..models.ensemble import ensemble_forward_sharded
+            return ensemble_forward_sharded(
+                lambda vv, *a: model.apply(vv, *a), variables, h, v, i, d,
+                val_disp_min, val_disp_max, val_disp_step, mesh=mesh_ens)
         if val_ensamble:
             return ensemble_forward(
                 lambda vv, *a: model.apply(vv, *a), variables, h, v, i, d,
@@ -245,7 +256,8 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
 def run_validation(output_dir, dataset, model_discrete=False,
                    val_loss_margin=15, val_ensamble=False,
                    val_disp_step=0.1, val_disp_min=-3.5, val_disp_max=3.5,
-                   train_shift=0.0, val_tile=0, mesh_space=1):
+                   train_shift=0.0, val_tile=0, mesh_space=1,
+                   mesh_ensemble=1):
     """Programmatic entry (the CLI body), returns the metric averages."""
     variables, kwargs = load_model_state(output_dir)
     # stored config + whitelisted CLI overrides (reference :214-217)
@@ -280,16 +292,27 @@ def run_validation(output_dir, dataset, model_discrete=False,
         model = FeedForward.from_config(cfg)
     print('Number of parameters:', n_params(variables['params']))
 
+    # the three scene-scale extensions are mutually exclusive (each owns
+    # the devices / the forward in a different way)
+    assert sum([val_tile > 0, mesh_space > 1, mesh_ensemble > 1]) <= 1, \
+        '--val_tile, --mesh_space and --mesh_ensemble are mutually exclusive'
+    if mesh_ensemble > 1 and not val_ensamble:
+        raise click.UsageError('--mesh_ensemble requires --val_ensamble')
+
+    mesh_ens = None
+    if mesh_ensemble > 1:
+        from ..parallel.mesh import make_mesh, replicated
+        mesh_ens = make_mesh(n_data=mesh_ensemble)
+        variables = jax.device_put(variables, replicated(mesh_ens))
+
     n_bins = 108
     scene_eval = make_scene_eval(model, cfg, kwargs, val_ensamble,
                                  val_disp_min, val_disp_max, val_disp_step,
                                  val_loss_margin, n_bins,
-                                 val_tile=val_tile)
+                                 val_tile=val_tile, mesh_ens=mesh_ens)
 
     # optional spatial sharding: scenes split over a 'space' mesh axis,
     # XLA SPMD inserts the conv halo exchanges (parallel/mesh.py)
-    assert not (val_tile > 0 and mesh_space > 1), \
-        '--val_tile and --mesh_space are mutually exclusive'
     mesh = None
     if mesh_space > 1:
         from ..parallel.mesh import (make_mesh, replicated,

@@ -271,3 +271,60 @@ def test_sharded_pallas_trunk_matches_single_device():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=1e-6,
                                    err_msg=f'grad {kp}')
+
+
+def test_sharded_ensemble_need_members_false():
+    """need_members=False must drop the member dumps but keep selection
+    and mixture posterior identical."""
+    from mmlf_tpu.models.ensemble import ensemble_forward_sharded
+
+    cfg = Config(model_chs=6, model_in_blocks=1, model_out_blocks=2,
+                 model_uncert=True).finalize()
+    model = FeedForward.from_config(cfg)
+    rng = np.random.default_rng(2)
+    stacks = [jnp.asarray(rng.random((1, 9, 32, 32, 3), dtype=np.float32))
+              for _ in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), *stacks)
+    apply_fn = lambda v, *s: model.apply(v, *s)
+
+    mesh = make_mesh(8)
+    full = jax.jit(lambda v, *s: ensemble_forward_sharded(
+        apply_fn, v, *s, -3.5, 3.5, 1.0, mesh=mesh))(variables, *stacks)
+    slim = jax.jit(lambda v, *s: ensemble_forward_sharded(
+        apply_fn, v, *s, -3.5, 3.5, 1.0, mesh=mesh,
+        need_members=False))(variables, *stacks)
+
+    assert slim['means'] is None and slim['logvars'] is None
+    for key in ('mean', 'logvar', 'posterior'):
+        np.testing.assert_allclose(np.asarray(slim[key]),
+                                   np.asarray(full[key]),
+                                   atol=1e-6, rtol=1e-6, err_msg=key)
+
+
+def test_validate_cli_mesh_ensemble(tmp_path):
+    """--mesh_ensemble end-to-end: run_validation with the member-sharded
+    ensemble must reproduce the serial --val_ensamble metrics."""
+    from mmlf_tpu.data.synth import generate_dataset
+    from mmlf_tpu.train.loop import train
+    from mmlf_tpu.validate.cli import run_validation
+
+    train_dir = str(tmp_path / 'train')
+    val_dir = str(tmp_path / 'val')
+    generate_dataset(train_dir, scenes=1, size=64, seed=0)
+    generate_dataset(val_dir, scenes=1, size=64, seed=5)
+    out = str(tmp_path / 'run')
+    os.makedirs(out, exist_ok=True)
+    cfg = Config(
+        train_trainset=train_dir, train_valset=val_dir,
+        train_bs=2, train_ps=32, train_lr=1e-3, train_max_downscale=1,
+        val_interval=2, train_steps=2, model_chs=6, model_in_blocks=1,
+        model_out_blocks=2, model_uncert=True, val_loss_margin=5,
+    ).finalize()
+    train(cfg, out, progress=False)
+
+    common = dict(val_loss_margin=5, val_ensamble=True, val_disp_step=1.0)
+    serial = run_validation(out, val_dir, **common)
+    sharded = run_validation(out, val_dir, mesh_ensemble=8, **common)
+    for k in ('mse', 'badpix', 'kld', 'kld_mm', 'kld_um', 'nll'):
+        np.testing.assert_allclose(sharded[k], serial[k],
+                                   atol=1e-5, rtol=1e-4, err_msg=k)
