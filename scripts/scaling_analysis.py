@@ -13,7 +13,10 @@ The collective volume of a data-parallel step is batch-size independent
 projection holds for any per-chip batch; compute time per chip is the
 measured single-chip step (bench.py / docs/STATUS.md).
 
-Run: python scripts/scaling_analysis.py [n_devices]
+Run: python scripts/scaling_analysis.py [n_devices] [--space | --ese]
+  (default)  data-parallel train step over an n-device 'data' mesh
+  --space    spatially-sharded 512² scene inference (conv halo exchanges)
+  --ese      member-sharded 70-member shift ensemble (validation)
 """
 
 import os
