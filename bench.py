@@ -201,14 +201,15 @@ def _acquire_devices(max_wait_s: float):
                 return
             except RuntimeError as e:
                 result['error'] = e
-                if time.time() >= deadline:
+                remaining = deadline - time.time()
+                if remaining <= 0:
                     return
                 print(f'device acquisition failed ({e}); resetting '
                       f'backends, retrying in 60s',
                       file=sys.stderr, flush=True)
                 from jax.extend.backend import clear_backends
                 clear_backends()
-                time.sleep(60.0)
+                time.sleep(min(60.0, remaining))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -259,7 +260,12 @@ def main():
         # SUCCESSFUL hardware run, explicitly marked stale.
         acquired.set()
         if not os.path.exists(CACHE_PATH):
-            raise
+            # no cached run to replay — report and exit HARD: normal
+            # teardown can deadlock against the worker thread still
+            # blocked inside the PJRT claim
+            print(f'TPU unavailable and no {CACHE_PATH} to replay: {e}',
+                  file=sys.stderr, flush=True)
+            os._exit(1)
         cache = json.load(open(CACHE_PATH))
         print(f'TPU unavailable ({e}); replaying last hardware run '
               f'from {cache["measured_at"]}', file=sys.stderr)

@@ -13,17 +13,22 @@ import numpy as np
 
 
 def pixel_likelihood_rows(scores: np.ndarray, x: int, y: int,
-                          start: float, stop: float) -> np.ndarray:
-    """(n_bins, 2) array of [disparity, likelihood] for one pixel.
+                          start: float, stop: float):
+    """(disparities, likelihoods) arrays for one pixel.
 
     ``scores`` is a (bins, h, w) or (1, bins, h, w) NLL volume as written
     by the validate CLI. Bin centers lie on the half-open [start, stop)
     grid — no stop endpoint, matching the reference's bin convention.
+    Returned as two arrays, NOT stacked: the likelihood keeps the input's
+    float32 dtype so the CSV text reprs match the reference's output
+    (stacking would upcast to float64 and change every digit string).
     """
     pixel_nll = (scores[0] if scores.ndim == 4 else scores)[:, y, x]
     n_bins = pixel_nll.shape[0]
-    disp = start + (stop - start) * np.arange(n_bins) / n_bins
-    return np.column_stack([disp, np.exp(-pixel_nll)])
+    # evaluation order matches the reference's per-bin expression so the
+    # float64 disparity labels are bit-identical in the CSV text
+    disp = np.arange(n_bins) / n_bins * (stop - start) + start
+    return disp, np.exp(-pixel_nll)
 
 
 @click.command()
@@ -34,10 +39,10 @@ def pixel_likelihood_rows(scores: np.ndarray, x: int, y: int,
 @click.option('--start', default=-3.5, help='lower limit')
 @click.option('--stop', default=3.5, help='upper limit')
 def main(input, output, x, y, start, stop):
-    rows = pixel_likelihood_rows(np.load(input), x, y, start, stop)
+    disp, lh = pixel_likelihood_rows(np.load(input), x, y, start, stop)
     with open(output, 'w') as f:
         f.write('disparity, likelihood\n')
-        f.writelines(f'{d}, {l}\n' for d, l in rows)
+        f.writelines(f'{d}, {l}\n' for d, l in zip(disp, lh))
 
 
 if __name__ == '__main__':

@@ -294,8 +294,9 @@ def run_validation(output_dir, dataset, model_discrete=False,
 
     # the three scene-scale extensions are mutually exclusive (each owns
     # the devices / the forward in a different way)
-    assert sum([val_tile > 0, mesh_space > 1, mesh_ensemble > 1]) <= 1, \
-        '--val_tile, --mesh_space and --mesh_ensemble are mutually exclusive'
+    if sum([val_tile > 0, mesh_space > 1, mesh_ensemble > 1]) > 1:
+        raise click.UsageError('--val_tile, --mesh_space and '
+                               '--mesh_ensemble are mutually exclusive')
     if mesh_ensemble > 1 and not val_ensamble:
         raise click.UsageError('--mesh_ensemble requires --val_ensamble')
 

@@ -78,7 +78,15 @@ def shape_bytes(type_str: str) -> int:
 
 
 def collect(hlo_text: str):
-    """(kind -> [(bytes, line_head)]) for every collective in the HLO."""
+    """(kind -> [(bytes, line_head)]) for every collective in the HLO.
+
+    Sync collectives: the instruction type IS the result (a tuple for
+    variadic/fused ops) — sum every tensor in it.  Async ``*-start``
+    variants type as (operand(s), result(s), contexts): summing would
+    double-count operand+result, so take the largest single tensor —
+    exact for the pairwise (G,G) all-reduce-start and (G/N, G)
+    all-gather-start shapes, conservative-low only for variadic starts.
+    """
     out = {}
     for line in hlo_text.splitlines():
         m = re.match(r'\s*(?:ROOT\s+)?%?[\w.-]+\s*=\s*(.+?)\s+([\w-]+)\(',
@@ -90,8 +98,14 @@ def collect(hlo_text: str):
         kind = next((c for c in COLLECTIVES if op == c or
                      op.startswith(c + '-start')), None)
         if kind:
+            if op.endswith('-start'):
+                sizes = [shape_bytes(f'{dt}[{dims}]') for dt, dims in
+                         re.findall(r'(\w+)\[([\d,]*)\]', type_str)]
+                nbytes = max(sizes) if sizes else 0
+            else:
+                nbytes = shape_bytes(type_str)
             out.setdefault(kind, []).append(
-                (shape_bytes(type_str), line.strip()[:110]))
+                (nbytes, line.strip()[:110]))
     return out
 
 

@@ -134,16 +134,19 @@ def test_pixel_likelihood_rows():
     from mmlf_tpu.utils.nll2csv import pixel_likelihood_rows
 
     nll = np.random.rand(108, 8, 8).astype(np.float32) * 5
-    rows = pixel_likelihood_rows(nll, x=3, y=2, start=-3.5, stop=3.5)
-    assert rows.shape == (108, 2)
+    disp, lh = pixel_likelihood_rows(nll, x=3, y=2, start=-3.5, stop=3.5)
+    assert disp.shape == lh.shape == (108,)
     # half-open grid: first bin at start, stop never reached
-    assert rows[0, 0] == -3.5 and rows[-1, 0] < 3.5
-    np.testing.assert_allclose(np.diff(rows[:, 0]), 7.0 / 108, rtol=1e-12)
-    np.testing.assert_allclose(rows[:, 1], np.exp(-nll[:, 2, 3]),
-                               rtol=1e-6)
+    assert disp[0] == -3.5 and disp[-1] < 3.5
+    np.testing.assert_allclose(np.diff(disp), 7.0 / 108, rtol=1e-12)
+    np.testing.assert_array_equal(lh, np.exp(-nll[:, 2, 3]))
+    # likelihood text must render as float32 (reference CSV parity)
+    assert lh.dtype == np.float32
     # 4-D input uses the first batch element
-    rows4 = pixel_likelihood_rows(nll[None], x=3, y=2, start=-3.5, stop=3.5)
-    np.testing.assert_array_equal(rows, rows4)
+    disp4, lh4 = pixel_likelihood_rows(nll[None], x=3, y=2,
+                                       start=-3.5, stop=3.5)
+    np.testing.assert_array_equal(disp, disp4)
+    np.testing.assert_array_equal(lh, lh4)
 
 
 def test_edges_cli(tmp_path):

@@ -328,3 +328,10 @@ def test_validate_cli_mesh_ensemble(tmp_path):
     for k in ('mse', 'badpix', 'kld', 'kld_mm', 'kld_um', 'nll'):
         np.testing.assert_allclose(sharded[k], serial[k],
                                    atol=1e-5, rtol=1e-4, err_msg=k)
+
+    import click
+    with pytest.raises(click.UsageError):
+        run_validation(out, val_dir, mesh_ensemble=8, mesh_space=8,
+                       **common)
+    with pytest.raises(click.UsageError):
+        run_validation(out, val_dir, mesh_ensemble=8, val_loss_margin=5)
