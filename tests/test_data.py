@@ -184,3 +184,28 @@ def test_synth_multilayer_depth_order():
 
     # feathered edges leave multimodal pixels (two planes sharing weight)
     assert ((alpha > 0.3).sum(0) > 1).sum() > 10
+
+
+def test_save_views(tmp_path):
+    """utils/lf.py view dump: one PNG per view per stack, values preserved
+    (reference: mmlf/utils/lf.py save_views)."""
+    from mmlf_tpu.utils.lf import save_views
+    from mmlf_tpu.utils.imgio import load_img
+
+    rng = np.random.default_rng(3)
+    stacks = [rng.random((5, 16, 16, 3), dtype=np.float32)
+              for _ in range(4)]
+    scene = str(tmp_path / 'scene')
+    # a leading batch dim must be stripped
+    save_views(scene, stacks[0][None], stacks[1], stacks[2], stacks[3])
+
+    for tag, stack in zip('hvid', stacks):
+        for j in range(5):
+            p = os.path.join(scene, f'view_{tag}_{j}.png')
+            assert os.path.exists(p), p
+        back = load_img(os.path.join(scene, f'view_{tag}_2.png'))
+        np.testing.assert_allclose(back, stack[2], atol=1 / 255)
+
+    # optional diagonal stacks may be omitted
+    save_views(str(tmp_path / 's2'), stacks[0], stacks[1])
+    assert not os.path.exists(str(tmp_path / 's2' / 'view_i_0.png'))
