@@ -281,6 +281,7 @@ def main():
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(0)
+        return  # unreachable in production; keeps the branch explicit
     print(f'device: {devices[0]}', file=sys.stderr)
     acquired.set()
 

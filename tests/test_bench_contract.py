@@ -1,0 +1,103 @@
+"""bench.py driver contract: ONE JSON line with the required schema,
+and the stale-replay path when the TPU never comes up.
+
+bench.py is a repo-root script (not a package module); load it by path.
+"""
+
+import importlib.util
+import io
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REQUIRED_KEYS = {'metric', 'value', 'unit', 'vs_baseline',
+                 'vs_baseline_flop_scaled', 'value_synced', 'value_chs70',
+                 'vs_baseline_chs70', 'value_bs512_recipe',
+                 'ms_per_step_bs512', 'mfu', 'mfu_chs70', 'config'}
+
+
+@pytest.fixture()
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        'bench_under_test', os.path.join(ROOT, 'bench.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _capture_stdout(fn):
+    out, old = io.StringIO(), sys.stdout
+    sys.stdout = out
+    try:
+        fn()
+    finally:
+        sys.stdout = old
+    return out.getvalue()
+
+
+def test_emit_schema(bench):
+    text = _capture_stdout(lambda: bench.emit(506.3, 418.8, 376.4, 507.4))
+    lines = [l for l in text.strip().splitlines() if l]
+    assert len(lines) == 1, 'driver contract: exactly ONE stdout line'
+    rec = json.loads(lines[0])
+    assert REQUIRED_KEYS <= set(rec), REQUIRED_KEYS - set(rec)
+    assert rec['metric'] == 'train_patches_per_sec_per_chip'
+    assert rec['value'] == 506.3 and 'stale' not in rec
+    # derived fields recompute from the raw rates
+    assert rec['ms_per_step_bs512'] == pytest.approx(512000.0 / 507.4, 0.01)
+    assert 0.0 < rec['mfu'] < 1.0 and 0.0 < rec['mfu_chs70'] < 1.0
+
+
+def test_stale_replay(bench, tmp_path, monkeypatch):
+    cache = {'pps': 100.0, 'pps_sync': 90.0, 'pps70': 80.0,
+             'pps512': 110.0, 'measured_at': '2026-08-17T19:15:00Z'}
+    cache_path = tmp_path / 'cache.json'
+    cache_path.write_text(json.dumps(cache))
+    monkeypatch.setattr(bench, 'CACHE_PATH', str(cache_path))
+    monkeypatch.setattr(
+        bench, '_acquire_devices',
+        lambda max_wait_s: (_ for _ in ()).throw(RuntimeError('down')))
+    exited = {}
+    monkeypatch.setattr(bench.os, '_exit', lambda c: exited.update(code=c))
+
+    text = _capture_stdout(bench.main)
+    rec = json.loads(text.strip().splitlines()[0])
+    assert rec['stale'] is True and rec['measured_at'] == cache['measured_at']
+    assert rec['value'] == 100.0 and REQUIRED_KEYS <= set(rec)
+    assert exited.get('code') == 0
+
+
+def test_conv_flops_reference_values(bench):
+    # pins the corrected FLOP accounting (round-3 fix: the last out-block
+    # projects at conv1) so MFU numbers stay comparable across rounds
+    assert bench.conv_flops_per_patch(64) / 1e9 == pytest.approx(224.5, 0.01)
+    assert bench.conv_flops_per_patch(70) / 1e9 == pytest.approx(268.4, 0.01)
+    # monotone in width, and bwd≈3x-fwd accounting keeps the ratio sane
+    assert bench.conv_flops_per_patch(70) > bench.conv_flops_per_patch(64)
+
+
+def test_acquire_devices_deadline(bench, monkeypatch):
+    calls = {'n': 0}
+
+    def fake_devices():
+        calls['n'] += 1
+        raise RuntimeError('UNAVAILABLE')
+
+    import types
+    fake_jax = types.ModuleType('jax')
+    fake_jax.devices = fake_devices
+    ext = types.ModuleType('jax.extend')
+    be = types.ModuleType('jax.extend.backend')
+    be.clear_backends = lambda: None
+    monkeypatch.setitem(sys.modules, 'jax', fake_jax)
+    monkeypatch.setitem(sys.modules, 'jax.extend', ext)
+    monkeypatch.setitem(sys.modules, 'jax.extend.backend', be)
+
+    with pytest.raises(RuntimeError, match='no TPU device'):
+        bench._acquire_devices(max_wait_s=0.5)
+    assert calls['n'] >= 1
