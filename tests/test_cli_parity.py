@@ -61,6 +61,30 @@ def test_config_matches_train_cli():
         assert getattr(cfg, name) == default, name
 
 
+def test_console_scripts_resolve():
+    """Every [project.scripts] entry in pyproject.toml resolves to a click
+    command (the reference ships no packaging metadata at all —
+    requirements.txt was its only install story, reference README.md:62-83)."""
+    import importlib
+    import pathlib
+    import tomllib
+
+    import click
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    with open(root / 'pyproject.toml', 'rb') as f:
+        project = tomllib.load(f)['project']
+    scripts = project['scripts']
+    assert 'mmlf-train' in scripts and 'mmlf-validate' in scripts
+    for name, target in scripts.items():
+        mod_name, attr = target.split(':')
+        mod = importlib.import_module(mod_name)
+        fn = getattr(mod, attr)
+        # click command or a plain callable wrapper (data.synth:main)
+        assert isinstance(fn, click.BaseCommand) or callable(fn), \
+            f'{name} -> {target}'
+
+
 def test_invertible_flag_fails_like_reference(tmp_path):
     """--model_invertible must raise the reference's NotImplementedError."""
     from mmlf_tpu.config import Config
