@@ -1,9 +1,10 @@
 #!/bin/bash
-# TPU-recipe accuracy check: train UPR with model_chs=64 on the SAME data
-# and README recipe as the round-2/3 parity table (scripts/parity_runs.sh,
-# chs=70) and validate UPR + ESE.  Purpose: show the >2x-throughput TPU
-# recipe (64 channels tile the MXU exactly; bench.py) matches the
-# reference-exact 70-channel configuration on accuracy, not just speed.
+# TPU-recipe accuracy check: train all heads with model_chs=64 on the SAME
+# data and README recipe as the round-2/3 parity table
+# (scripts/parity_runs.sh, chs=70) and validate UPR + ESE + BASE + DPP.
+# Purpose: show the >2x-throughput TPU recipe (64 channels tile the MXU
+# exactly; bench.py) matches the reference-exact 70-channel configuration
+# on accuracy, not just speed.
 set -euo pipefail
 
 ROOT=${PARITY_ROOT:-/tmp/parity}
@@ -41,5 +42,36 @@ echo "== validating ese64 ($(date -u +%H:%M:%S))"
 python -m mmlf_tpu.validate.cli "$ROOT/upr64" "$DATA/val" \
     --train_shift=2.5 --val_ensamble > "$ROOT/val_ese64.log" 2>&1
 tail -5 "$ROOT/val_ese64.log"
+
+out=$ROOT/base64
+if [ ! -f "$out/DONE" ]; then
+    mkdir -p "$out"
+    echo "== training base64 ($(date -u +%H:%M:%S))"
+    # shellcheck disable=SC2086
+    python -m mmlf_tpu.train.cli "$out" $RECIPE \
+        --model_chs=64 > "$out/train.log" 2>&1
+    touch "$out/DONE"
+fi
+
+echo "== validating base64 ($(date -u +%H:%M:%S))"
+python -m mmlf_tpu.validate.cli "$ROOT/base64" "$DATA/val" \
+    --train_shift=2.5 > "$ROOT/val_base64.log" 2>&1
+tail -5 "$ROOT/val_base64.log"
+
+out=$ROOT/dpp64
+if [ ! -f "$out/DONE" ]; then
+    mkdir -p "$out"
+    echo "== training dpp64 ($(date -u +%H:%M:%S))"
+    # shellcheck disable=SC2086
+    python -m mmlf_tpu.train.cli "$out" $RECIPE --model_discrete \
+        --train_loss_multimodal --train_nan_guard \
+        --model_chs=64 > "$out/train.log" 2>&1
+    touch "$out/DONE"
+fi
+
+echo "== validating dpp64 ($(date -u +%H:%M:%S))"
+python -m mmlf_tpu.validate.cli "$ROOT/dpp64" "$DATA/val" \
+    --train_shift=2.5 --model_discrete > "$ROOT/val_dpp64.log" 2>&1
+tail -5 "$ROOT/val_dpp64.log"
 
 echo "== chs64 parity run complete ($(date -u +%H:%M:%S))"
