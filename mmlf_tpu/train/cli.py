@@ -81,7 +81,14 @@ from .loop import train
               help='[TPU] WORKING invertible network (the reference\'s '
                    '--model_invertible is dead upstream and fails '
                    'identically here; this trains the real INN)')
-def main(output_dir, **kwargs):
+@click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
+              help='[TPU] persistent XLA compilation-cache directory '
+                   '(re-runs skip the 2-6 min cold compile); also via '
+                   '$MMLF_JAX_CACHE')
+def main(output_dir, jax_cache, **kwargs):
+    if jax_cache:
+        from ..utils.jaxcache import enable_compilation_cache
+        enable_compilation_cache(jax_cache)
     cfg = Config.from_dict(kwargs).finalize()
     train(cfg, output_dir)
 

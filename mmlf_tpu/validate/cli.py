@@ -96,9 +96,17 @@ def n_params(variables) -> int:
               help='TPU extension: shard the --val_ensamble members over '
                    'this many devices (each scans ceil(70/N) members '
                    'locally; psum posterior + all-gather selection).')
+@click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
+              help='TPU extension: persistent XLA compilation-cache '
+                   'directory (re-runs skip the cold per-scene compiles); '
+                   'also via $MMLF_JAX_CACHE')
 def main(output_dir, dataset, model_invertible, model_discrete,
          val_loss_margin, val_ensamble, val_disp_step, val_disp_min,
-         val_disp_max, train_shift, val_tile, mesh_space, mesh_ensemble):
+         val_disp_max, train_shift, val_tile, mesh_space, mesh_ensemble,
+         jax_cache):
+    if jax_cache:
+        from ..utils.jaxcache import enable_compilation_cache
+        enable_compilation_cache(jax_cache)
     run_validation(output_dir, dataset, model_discrete=model_discrete,
                    val_loss_margin=val_loss_margin,
                    val_ensamble=val_ensamble, val_disp_step=val_disp_step,
