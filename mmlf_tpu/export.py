@@ -1,0 +1,171 @@
+"""AOT export of the inference program for deployment (TPU-native extension).
+
+``python -m mmlf_tpu.export CKPT_DIR ARTIFACT --height 512 --width 512``
+packages the checkpoint's full eval program — BN-folded forward (optionally
+the 70-member shift ensemble) plus head posteriors — as ONE serialized
+StableHLO artifact via ``jax.export``, together with the weights and a meta
+record.  The reference has no deployment story at all (its inference is the
+eager torch validate loop, reference mmlf/validate/cli.py:249-331); this is
+the piece a production user needs: the artifact is loadable WITHOUT the
+model source, carries StableHLO's serialization compatibility guarantees,
+and can be lowered for platforms the exporting host doesn't have (export on
+a CPU dev box, serve on TPU).
+
+Loading: ``fn, meta = load_exported(path)``; ``fn(h, v, i, d)`` returns the
+model's output dict for scenes of the exported height/width.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import click
+import numpy as np
+import jax
+from jax import export as jex
+
+
+MAGIC = b'MMLFEXP1'
+
+
+def build_inference(output_dir: str, val_ensamble: bool = False,
+                    val_disp_min: float = -3.5, val_disp_max: float = 3.5,
+                    val_disp_step: float = 0.1, members: bool = False):
+    """(fn(variables, h, v, i, d) -> output dict, variables, meta dict).
+
+    Mirrors the validate CLI's model reconstruction: stored hyper-parameters
+    win, BatchNorm is folded into the convolutions for eval
+    (validate/cli.py), and ``val_ensamble`` wraps the scanned ESE.
+    """
+    from .config import Config
+    from .models import FeedForward
+    from .validate.cli import load_model_state
+
+    variables, kwargs = load_model_state(output_dir)
+    kwargs.update({'val_disp_min': val_disp_min,
+                   'val_disp_max': val_disp_max})
+    cfg = Config.from_dict(kwargs)
+    if cfg.model_inn:
+        raise click.UsageError('INN checkpoints are not exportable yet '
+                               '(iterative GMM readout)')
+
+    if not cfg.model_no_batchnorm and not cfg.model_unet:
+        from .utils.fold_bn import fold_batchnorm
+        variables = fold_batchnorm(variables)
+        cfg = Config.from_dict({**cfg.to_dict(),
+                                'model_no_batchnorm': True})
+
+    model = FeedForward.from_config(cfg)
+
+    def fwd(variables, h, v, i, d):
+        if val_ensamble:
+            from .models.ensemble import ensemble_forward
+            out = ensemble_forward(
+                lambda vv, *a: model.apply(vv, *a), variables, h, v, i, d,
+                disp_min=val_disp_min, disp_max=val_disp_max,
+                disp_step=val_disp_step,
+                # the artifact must run on any platform — no Pallas
+                posterior_impl='scan')
+            if not members:      # (K, b, H, W) stacks are the bulky part
+                out.pop('means', None)
+                out.pop('logvars', None)
+        else:
+            out = model.apply(variables, h, v, i, d)
+        return {k: v for k, v in out.items() if v is not None}
+
+    meta = {'config': cfg.to_dict(), 'val_ensamble': val_ensamble,
+            'val_disp_min': val_disp_min, 'val_disp_max': val_disp_max,
+            'val_disp_step': val_disp_step, 'members': members,
+            'views': cfg.model_views}
+    return fwd, variables, meta
+
+
+def export_inference(output_dir: str, height: int, width: int,
+                     val_ensamble: bool = False,
+                     val_disp_min: float = -3.5, val_disp_max: float = 3.5,
+                     val_disp_step: float = 0.1, members: bool = False,
+                     platforms=('tpu', 'cpu'), batch: int = 1) -> bytes:
+    """Serialize the full inference program for ``(batch, views, H, W, 3)``
+    scenes into a self-contained artifact (weights + StableHLO + meta)."""
+    fwd, variables, meta = build_inference(
+        output_dir, val_ensamble, val_disp_min, val_disp_max, val_disp_step,
+        members)
+    n = meta['views']
+    stack = jax.ShapeDtypeStruct((batch, n, height, width, 3), np.float32)
+    var_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables)
+    exported = jex.export(jax.jit(fwd), platforms=list(platforms))(
+        var_shapes, stack, stack, stack, stack)
+
+    from flax import serialization
+    meta = dict(meta, height=height, width=width, batch=batch,
+                platforms=list(platforms))
+    meta_b = json.dumps(meta).encode()
+    var_b = serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, variables))
+    exp_b = exported.serialize()
+    head = np.array([len(meta_b), len(var_b), len(exp_b)],
+                    dtype='<u8').tobytes()
+    return MAGIC + head + meta_b + var_b + exp_b
+
+
+def load_exported(path_or_bytes):
+    """Load an artifact; returns ``(fn, meta)`` with
+    ``fn(h, v, i, d) -> output dict`` jitted for the current backend.
+
+    Needs only jax+flax — not this package's model code."""
+    blob = path_or_bytes
+    if not isinstance(blob, (bytes, bytearray)):
+        with open(blob, 'rb') as f:
+            blob = f.read()
+    if blob[:len(MAGIC)] != MAGIC:
+        raise ValueError('not an mmlf_tpu export artifact')
+    off = len(MAGIC)
+    ln, lv, le = np.frombuffer(blob[off:off + 24], dtype='<u8')
+    off += 24
+    meta = json.loads(blob[off:off + int(ln)])
+    off += int(ln)
+    from flax import serialization
+    variables = serialization.msgpack_restore(blob[off:off + int(lv)])
+    off += int(lv)
+    exported = jex.deserialize(blob[off:off + int(le)])
+
+    call = jax.jit(lambda *stacks: exported.call(variables, *stacks))
+    return call, meta
+
+
+@click.command()
+@click.argument('output_dir', type=click.Path(exists=True))
+@click.argument('artifact', type=click.Path())
+@click.option('--height', default=512, help='Scene height the program is '
+              'specialized to')
+@click.option('--width', default=512, help='Scene width')
+@click.option('--batch', default=1, help='Scenes per call')
+@click.option('--val_ensamble', is_flag=True, help='Export the shift '
+              'ensemble (ESE) program')
+@click.option('--val_disp_min', default=-3.5)
+@click.option('--val_disp_max', default=3.5)
+@click.option('--val_disp_step', default=0.1)
+@click.option('--members', is_flag=True,
+              help='Keep the per-member mean/logvar stacks in the ESE '
+                   'output (large)')
+@click.option('--platforms', default='tpu,cpu',
+              help='Comma-separated lowering platforms')
+def main(output_dir, artifact, height, width, batch, val_ensamble,
+         val_disp_min, val_disp_max, val_disp_step, members, platforms):
+    """Export a checkpoint's inference program as a serving artifact."""
+    blob = export_inference(
+        output_dir, height, width, val_ensamble=val_ensamble,
+        val_disp_min=val_disp_min, val_disp_max=val_disp_max,
+        val_disp_step=val_disp_step, members=members,
+        platforms=tuple(p.strip() for p in platforms.split(',') if p.strip()),
+        batch=batch)
+    with open(artifact, 'wb') as f:
+        f.write(blob)
+    print(f'wrote {artifact} ({len(blob) / 1e6:.1f} MB, '
+          f'{height}x{width}, platforms={platforms})')
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""AOT export artifacts (mmlf_tpu/export.py): round-trip equality with the
+direct eval path, ESE export, container format guards."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from mmlf_tpu.config import Config
+from mmlf_tpu.data.synth import generate_dataset
+from mmlf_tpu.export import (build_inference, export_inference,
+                             load_exported)
+from mmlf_tpu.train.loop import train
+
+
+@pytest.fixture(scope='module')
+def ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp('exptest')
+    data = str(root / 'data')
+    generate_dataset(data, scenes=1, size=64, seed=0)
+    out = str(root / 'run')
+    os.makedirs(out, exist_ok=True)
+    cfg = Config(
+        train_trainset=data, train_valset=data,
+        train_bs=2, train_ps=32, train_lr=1e-3, train_max_downscale=1,
+        val_interval=2, train_steps=2, model_chs=6, model_in_blocks=1,
+        model_out_blocks=2, model_uncert=True, val_loss_margin=5,
+    ).finalize()
+    train(cfg, out, progress=False)
+    return out
+
+
+def _stacks(size=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.rand(1, 9, size, size, 3).astype('f4') for _ in range(4)]
+
+
+def test_export_round_trip_matches_direct(ckpt, tmp_path):
+    path = str(tmp_path / 'upr.mmlf')
+    blob = export_inference(ckpt, 64, 64, platforms=('cpu',))
+    with open(path, 'wb') as f:
+        f.write(blob)
+
+    fn, meta = load_exported(path)
+    assert meta['height'] == 64 and meta['config']['model_uncert']
+
+    stacks = _stacks()
+    out = fn(*stacks)
+    assert sorted(out) == ['logvar', 'mean', 'posterior']
+
+    fwd, variables, _ = build_inference(ckpt)
+    ref = jax.jit(fwd)(variables, *stacks)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
+def test_export_ensemble(ckpt):
+    blob = export_inference(ckpt, 32, 32, val_ensamble=True,
+                            val_disp_step=1.0, platforms=('cpu',))
+    fn, meta = load_exported(blob)
+    assert meta['val_ensamble']
+    out = fn(*_stacks(32))
+    assert out['posterior'].shape == (1, 32, 32, 7)   # arange(-3.5,3.5,1)
+    assert 'means' not in out                          # members dropped
+
+    blob_m = export_inference(ckpt, 32, 32, val_ensamble=True,
+                              val_disp_step=1.0, members=True,
+                              platforms=('cpu',))
+    fn_m, _ = load_exported(blob_m)
+    out_m = fn_m(*_stacks(32))
+    assert out_m['means'].shape == (7, 1, 32, 32)
+
+    fwd, variables, _ = build_inference(ckpt, val_ensamble=True,
+                                        val_disp_step=1.0)
+    ref = jax.jit(fwd)(variables, *_stacks(32))
+    np.testing.assert_array_equal(np.asarray(out['mean']),
+                                  np.asarray(ref['mean']))
+
+
+def test_bad_artifact_rejected(tmp_path):
+    p = str(tmp_path / 'junk.bin')
+    with open(p, 'wb') as f:
+        f.write(b'not an artifact at all')
+    with pytest.raises(ValueError, match='not an mmlf_tpu export'):
+        load_exported(p)
+
+
+def test_export_cli(ckpt, tmp_path):
+    from click.testing import CliRunner
+    from mmlf_tpu.export import main
+    path = str(tmp_path / 'cli.mmlf')
+    res = CliRunner().invoke(main, [ckpt, path, '--height', '32',
+                                    '--width', '32', '--platforms', 'cpu'])
+    assert res.exit_code == 0, res.output
+    fn, meta = load_exported(path)
+    out = fn(*_stacks(32))
+    assert np.isfinite(np.asarray(out['mean'])).all()

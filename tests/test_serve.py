@@ -1,0 +1,123 @@
+"""Inference server (mmlf_tpu/serve.py): engine + HTTP surface against a
+synthetic scene, in both checkpoint-dir and export-artifact modes."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mmlf_tpu.config import Config
+from mmlf_tpu.data.synth import generate_dataset
+from mmlf_tpu.serve import InferenceEngine, make_server
+from mmlf_tpu.train.loop import train
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp('servetest')
+    data = str(root / 'data')
+    generate_dataset(data, scenes=1, size=64, seed=0)
+    ckpt = str(root / 'run')
+    os.makedirs(ckpt, exist_ok=True)
+    cfg = Config(
+        train_trainset=data, train_valset=data,
+        train_bs=2, train_ps=32, train_lr=1e-3, train_max_downscale=1,
+        val_interval=2, train_steps=2, model_chs=6, model_in_blocks=1,
+        model_out_blocks=2, model_uncert=True, val_loss_margin=5,
+    ).finalize()
+    train(cfg, ckpt, progress=False)
+    scene = os.path.join(data, sorted(os.listdir(data))[0])
+    return root, ckpt, scene
+
+
+def _request(port, method, path, payload=None):
+    url = f'http://127.0.0.1:{port}{path}'
+    data = None if payload is None else json.dumps(payload).encode()
+    req = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope='module')
+def server(env):
+    root, ckpt, scene = env
+    engine = InferenceEngine(ckpt)
+    srv = make_server(engine, port=0)      # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], engine
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_healthz(server):
+    port, _ = server
+    code, resp = _request(port, 'GET', '/healthz')
+    assert code == 200 and resp['status'] == 'ok'
+    assert resp['model']['model_uncert'] is True
+
+
+def test_infer_writes_artifacts_and_metrics(env, server, tmp_path):
+    root, ckpt, scene = env
+    port, _ = server
+    out = str(tmp_path / 'out')
+    code, resp = _request(port, 'POST', '/infer',
+                          {'scene_dir': scene, 'out_dir': out})
+    assert code == 200, resp
+    assert resp['shape'] == [64, 64]
+    assert np.isfinite(resp['mse'])           # synthetic scenes ship GT
+    assert 0.0 <= resp['badpix_007'] <= 1.0
+    assert os.path.exists(os.path.join(out, 'result.pfm'))
+    assert os.path.exists(os.path.join(out, 'uncert.pfm'))
+
+    from mmlf_tpu.utils import pfm
+    res = np.flip(pfm.load(os.path.join(out, 'result.pfm')), 0)
+    assert res.shape == (64, 64) and np.isfinite(res).all()
+
+    code, stats = _request(port, 'GET', '/stats')
+    assert code == 200 and stats['requests'] >= 1 and stats['errors'] == 0
+
+
+def test_infer_bad_request(server):
+    port, _ = server
+    code, resp = _request(port, 'POST', '/infer',
+                          {'scene_dir': '/nonexistent/scene'})
+    assert code == 400 and 'error' in resp
+    code, _ = _request(port, 'POST', '/nope')
+    assert code == 404
+
+
+def test_artifact_mode_shape_guard(env, tmp_path):
+    root, ckpt, scene = env
+    from mmlf_tpu.export import export_inference
+    path = str(tmp_path / 'm.mmlf')
+    with open(path, 'wb') as f:
+        f.write(export_inference(ckpt, 64, 64, platforms=('cpu',)))
+
+    engine = InferenceEngine(path)
+    assert engine.warmup() == (64, 64)
+    resp = engine.infer(scene)
+    assert resp['shape'] == [64, 64] and np.isfinite(resp['mse'])
+
+    # a mismatched artifact refuses with a clear error
+    path32 = str(tmp_path / 'm32.mmlf')
+    with open(path32, 'wb') as f:
+        f.write(export_inference(ckpt, 32, 32, platforms=('cpu',)))
+    engine32 = InferenceEngine(path32)
+    with pytest.raises(ValueError, match='specialized to'):
+        engine32.infer(scene)
+
+
+def test_train_shift_applied(env):
+    """A nonzero shift re-centers the stacks — output must change."""
+    root, ckpt, scene = env
+    engine = InferenceEngine(ckpt)
+    r0 = engine.infer(scene)
+    r1 = engine.infer(scene, train_shift=1.0)
+    assert r0['disp'] != r1['disp']
