@@ -47,16 +47,18 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
                    'val_disp_max': val_disp_max})
     cfg = Config.from_dict(kwargs)
     if cfg.model_inn:
-        raise click.UsageError('INN checkpoints are not exportable yet '
-                               '(iterative GMM readout)')
-
-    if not cfg.model_no_batchnorm and not cfg.model_unet:
-        from .utils.fold_bn import fold_batchnorm
-        variables = fold_batchnorm(variables)
-        cfg = Config.from_dict({**cfg.to_dict(),
-                                'model_no_batchnorm': True})
-
-    model = FeedForward.from_config(cfg)
+        if val_ensamble:
+            raise click.UsageError('--val_ensamble does not apply to an '
+                                   'INN checkpoint (validate/cli.py rule)')
+        from .models.inn import INN
+        model = INN.from_config(cfg)
+    else:
+        if not cfg.model_no_batchnorm and not cfg.model_unet:
+            from .utils.fold_bn import fold_batchnorm
+            variables = fold_batchnorm(variables)
+            cfg = Config.from_dict({**cfg.to_dict(),
+                                    'model_no_batchnorm': True})
+        model = FeedForward.from_config(cfg)
 
     def fwd(variables, h, v, i, d):
         if val_ensamble:

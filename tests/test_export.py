@@ -79,6 +79,30 @@ def test_export_ensemble(ckpt):
                                   np.asarray(ref['mean']))
 
 
+def test_export_inn(tmp_path):
+    """A trained --model_inn checkpoint exports and round-trips too."""
+    data = str(tmp_path / 'data')
+    generate_dataset(data, scenes=1, size=64, seed=0)
+    out = str(tmp_path / 'run_inn')
+    os.makedirs(out)
+    cfg = Config(
+        train_trainset=data, train_valset=data,
+        train_bs=2, train_ps=32, train_lr=1e-4, train_max_downscale=1,
+        val_interval=2, train_steps=2, val_loss_margin=5,
+        model_views=9, model_in_blocks=1, model_out_blocks=1,
+        model_inn=True).finalize()
+    train(cfg, out, progress=False)
+
+    fn, meta = load_exported(export_inference(out, 32, 32,
+                                              platforms=('cpu',)))
+    o = fn(*_stacks(32))
+    assert o['posterior'].shape[-1] == 108
+    fwd, variables, _ = build_inference(out)
+    ref = jax.jit(fwd)(variables, *_stacks(32))
+    np.testing.assert_array_equal(np.asarray(o['mean']),
+                                  np.asarray(ref['mean']))
+
+
 def test_bad_artifact_rejected(tmp_path):
     p = str(tmp_path / 'junk.bin')
     with open(p, 'wb') as f:
