@@ -48,8 +48,10 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
     cfg = Config.from_dict(kwargs)
     if cfg.model_inn:
         if val_ensamble:
-            raise click.UsageError('--val_ensamble does not apply to an '
-                                   'INN checkpoint (validate/cli.py rule)')
+            # ValueError, not click.UsageError: this is a library function
+            # (serve.InferenceEngine calls it too); the CLI re-wraps it
+            raise ValueError('val_ensamble does not apply to an '
+                             'INN checkpoint (validate/cli.py rule)')
         from .models.inn import INN
         model = INN.from_config(cfg)
     else:
@@ -133,8 +135,12 @@ def load_exported(path_or_bytes):
     off += int(lv)
     exported = jex.deserialize(blob[off:off + int(le)])
 
-    call = jax.jit(lambda *stacks: exported.call(variables, *stacks))
-    return call, meta
+    # keep the weights a runtime argument (device-resident), NOT a closure:
+    # closed-over numpy arrays would be baked into the lowered program as
+    # constants, doubling memory and slowing the compile
+    variables = jax.device_put(variables)
+    call = jax.jit(exported.call)
+    return (lambda *stacks: call(variables, *stacks)), meta
 
 
 @click.command()
@@ -154,15 +160,26 @@ def load_exported(path_or_bytes):
                    'output (large)')
 @click.option('--platforms', default='tpu,cpu',
               help='Comma-separated lowering platforms')
+@click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
+              help='Persistent XLA compilation-cache directory, '
+                   'also via $MMLF_JAX_CACHE')
 def main(output_dir, artifact, height, width, batch, val_ensamble,
-         val_disp_min, val_disp_max, val_disp_step, members, platforms):
+         val_disp_min, val_disp_max, val_disp_step, members, platforms,
+         jax_cache):
     """Export a checkpoint's inference program as a serving artifact."""
-    blob = export_inference(
-        output_dir, height, width, val_ensamble=val_ensamble,
-        val_disp_min=val_disp_min, val_disp_max=val_disp_max,
-        val_disp_step=val_disp_step, members=members,
-        platforms=tuple(p.strip() for p in platforms.split(',') if p.strip()),
-        batch=batch)
+    if jax_cache:
+        from .utils.jaxcache import enable_compilation_cache
+        enable_compilation_cache(jax_cache)
+    try:
+        blob = export_inference(
+            output_dir, height, width, val_ensamble=val_ensamble,
+            val_disp_min=val_disp_min, val_disp_max=val_disp_max,
+            val_disp_step=val_disp_step, members=members,
+            platforms=tuple(p.strip() for p in platforms.split(',')
+                            if p.strip()),
+            batch=batch)
+    except ValueError as e:
+        raise click.UsageError(str(e))
     with open(artifact, 'wb') as f:
         f.write(blob)
     print(f'wrote {artifact} ({len(blob) / 1e6:.1f} MB, '

@@ -18,13 +18,20 @@ Endpoints (JSON; stdlib http.server, zero dependencies):
   GET  /healthz  -> model/meta info, ready flag
   GET  /stats    -> request counters + latency aggregates
   POST /infer    {"scene_dir": DIR[, "out_dir": DIR][, "train_shift": S]}
+                 or {"scene_dirs": [DIR, ...], ...} for a batched call
                  -> disparity statistics (+ masked MSE / BadPix(0.07) when
                  the scene ships GT) and the artifact paths written
                  (``result.pfm`` / ``uncert.pfm``, PFM bottom-up convention
                  like the reference writer, reference mmlf/data/hci4d.py:362).
+                 Multi-scene requests write per-scene subdirectories of
+                 ``out_dir`` and return a ``scenes`` list.
 
 Inference is serialized with a lock — the TPU is single-tenant; concurrent
 requests queue instead of wedging the relay.
+
+The server binds loopback by default and has NO authentication; if exposed
+beyond localhost (``--host``), set ``--data_root`` so scene/output paths are
+confined to one directory tree.
 """
 
 from __future__ import annotations
@@ -44,12 +51,15 @@ class InferenceEngine:
     """Owns the model (artifact or checkpoint) and runs scenes through it."""
 
     def __init__(self, model_path: str, val_ensamble: bool = False,
-                 train_shift: float = 0.0):
+                 train_shift: float = 0.0, data_root: str = ''):
         self.train_shift = float(train_shift)
-        self.lock = threading.Lock()
+        self.data_root = (os.path.realpath(data_root) if data_root else '')
+        self.lock = threading.Lock()           # serializes TPU calls
+        self.stats_lock = threading.Lock()     # guards the counters
         self.stats = {'requests': 0, 'errors': 0, 'total_s': 0.0,
                       'last_s': None}
         self.fixed_shape = None
+        self.fixed_batch = None                # artifact mode only
         if os.path.isdir(model_path):
             from .export import build_inference
             import jax
@@ -62,6 +72,9 @@ class InferenceEngine:
             from .export import load_exported
             self._call, self.meta = load_exported(model_path)
             self.fixed_shape = (self.meta['height'], self.meta['width'])
+            self.fixed_batch = int(self.meta.get('batch', 1))
+        self.views = int(self.meta.get(
+            'views', self.meta['config']['model_views']))
 
     def warmup(self, size: int = 0):
         """Compile before the first request: at the artifact's shape, or at
@@ -73,64 +86,113 @@ class InferenceEngine:
             h = w = int(size)
         else:
             return None
-        n = self.meta.get('views', self.meta['config']['model_views'])
-        z = np.zeros((1, n, h, w, 3), np.float32)
+        z = np.zeros((self.fixed_batch or 1, self.views, h, w, 3), np.float32)
         out = self._call(z, z, z, z)
         np.asarray(out['mean'])
         return h, w
 
-    def infer(self, scene_dir: str, out_dir: str | None = None,
-              train_shift: float | None = None) -> dict:
+    def _check_root(self, path: str, what: str) -> str:
+        if self.data_root:
+            real = os.path.realpath(path)
+            if os.path.commonpath([real, self.data_root]) != self.data_root:
+                raise ValueError(f'{what} {path!r} is outside --data_root')
+        return path
+
+    def infer(self, scene_dir: str | None = None,
+              out_dir: str | None = None,
+              train_shift: float | None = None,
+              scene_dirs: list | None = None) -> dict:
         from .data.hci4d import _pick_gt_pfm, load_scene
         from .data import transforms as T
         from .losses import masked_badpix, masked_mse
         from .ops.masks import create_mask_margin
         from .utils import pfm
 
-        sample = load_scene(scene_dir)
-        shift = self.train_shift if train_shift is None else float(train_shift)
-        if shift != 0.0:
-            sample = T.Shift(shift)(sample)
-        h, v, i, d, center, gt, mpi, mask, _ = sample
+        single = scene_dirs is None
+        if single:
+            if not scene_dir:
+                raise ValueError('scene_dir (or scene_dirs) is required')
+            scene_dirs = [scene_dir]
+        elif not isinstance(scene_dirs, (list, tuple)) or not scene_dirs \
+                or not all(isinstance(s, str) for s in scene_dirs):
+            raise ValueError('scene_dirs must be a non-empty list of paths')
+        if out_dir:
+            self._check_root(out_dir, 'out_dir')
 
-        if self.fixed_shape and h.shape[1:3] != self.fixed_shape:
+        shift = self.train_shift if train_shift is None else float(train_shift)
+        nviews = (self.views, self.views)
+        samples = []
+        for sd in scene_dirs:
+            self._check_root(sd, 'scene_dir')
+            # the 23×23 texture mask is never consumed here — skip its cost
+            sample = load_scene(sd, nviews=nviews, texture_mask=False)
+            if shift != 0.0:
+                sample = T.Shift(shift)(sample)
+            samples.append(sample)
+
+        shapes = {s[0].shape for s in samples}
+        if len(shapes) > 1:
+            raise ValueError('scenes in one request must share a shape, '
+                             f'got {sorted(map(str, shapes))}')
+        spatial = samples[0][0].shape[1:3]
+        if self.fixed_shape and spatial != self.fixed_shape:
             raise ValueError(
                 f'artifact is specialized to {self.fixed_shape}, scene is '
-                f'{h.shape[1:3]} — export at this shape or serve the '
+                f'{spatial} — export at this shape or serve the '
                 f'checkpoint directory instead')
+        n = len(samples)
+        if self.fixed_batch is not None and n > self.fixed_batch:
+            raise ValueError(f'artifact batch is {self.fixed_batch}, '
+                             f'request has {n} scenes')
+
+        def batch_stack(j):
+            arr = np.stack([np.asarray(s[j]) for s in samples])
+            if self.fixed_batch and arr.shape[0] < self.fixed_batch:
+                pad = np.zeros((self.fixed_batch - arr.shape[0],)
+                               + arr.shape[1:], arr.dtype)
+                arr = np.concatenate([arr, pad])
+            return arr
 
         t0 = time.time()
         with self.lock:
-            out = self._call(*(np.asarray(s[None]) for s in (h, v, i, d)))
-            mean = np.asarray(out['mean'])[0]
+            out = self._call(*(batch_stack(j) for j in range(4)))
+            mean = np.asarray(out['mean'])[:n]
         runtime = time.time() - t0
+        logvar = out.get('logvar')
+        logvar = None if logvar is None else np.asarray(logvar)[:n]
 
-        resp = {
-            'scene': os.path.basename(os.path.abspath(scene_dir)),
-            'runtime_s': round(runtime, 4),
-            'shape': list(mean.shape),
-            'disp': {'min': float(mean.min()), 'max': float(mean.max()),
-                     'mean': float(mean.mean())},
-        }
+        resps = []
+        for k, (sd, sample) in enumerate(zip(scene_dirs, samples)):
+            gt = sample[5]
+            mk = mean[k]
+            resp = {
+                'scene': os.path.basename(os.path.abspath(sd)),
+                'shape': list(mk.shape),
+                'disp': {'min': float(mk.min()), 'max': float(mk.max()),
+                         'mean': float(mk.mean())},
+            }
+            if _pick_gt_pfm(sd, nviews) is not None:
+                m = np.asarray(create_mask_margin(gt[None].shape, 15))
+                out_d = {'mean': mk[None]}
+                resp['mse'] = float(masked_mse(out_d, gt[None], m))
+                resp['badpix_007'] = float(masked_badpix(out_d, gt[None], m))
+            if out_dir:
+                dst = out_dir if single else os.path.join(out_dir,
+                                                          resp['scene'])
+                os.makedirs(dst, exist_ok=True)
+                rp = os.path.join(dst, 'result.pfm')
+                pfm.save(rp, np.flip(mk.astype(np.float32), 0).copy())
+                resp['artifacts'] = [rp]
+                if logvar is not None:
+                    up = os.path.join(dst, 'uncert.pfm')
+                    pfm.save(up, np.flip(
+                        logvar[k].astype(np.float32), 0).copy())
+                    resp['artifacts'].append(up)
+            resps.append(resp)
 
-        if _pick_gt_pfm(scene_dir, (9, 9)) is not None:
-            m = np.asarray(create_mask_margin(gt[None].shape, 15))
-            out_d = {'mean': mean[None]}
-            resp['mse'] = float(masked_mse(out_d, gt[None], m))
-            resp['badpix_007'] = float(masked_badpix(out_d, gt[None], m))
-
-        if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
-            rp = os.path.join(out_dir, 'result.pfm')
-            pfm.save(rp, np.flip(mean.astype(np.float32), 0).copy())
-            resp['artifacts'] = [rp]
-            logvar = out.get('logvar')
-            if logvar is not None:
-                up = os.path.join(out_dir, 'uncert.pfm')
-                pfm.save(up, np.flip(
-                    np.asarray(logvar)[0].astype(np.float32), 0).copy())
-                resp['artifacts'].append(up)
-        return resp
+        if single:
+            return dict(resps[0], runtime_s=round(runtime, 4))
+        return {'runtime_s': round(runtime, 4), 'scenes': resps}
 
 
 def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
@@ -160,7 +222,8 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
                                'model_unet', 'model_views')},
                 })
             elif self.path == '/stats':
-                s = dict(engine.stats)
+                with engine.stats_lock:
+                    s = dict(engine.stats)
                 n = max(1, s['requests'] - s['errors'])
                 s['avg_s'] = round(s['total_s'] / n, 4)
                 self._send(200, s)
@@ -171,18 +234,24 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
             if self.path != '/infer':
                 self._send(404, {'error': f'unknown path {self.path}'})
                 return
-            engine.stats['requests'] += 1
+            with engine.stats_lock:
+                engine.stats['requests'] += 1
             try:
                 ln = int(self.headers.get('Content-Length', 0))
                 req = json.loads(self.rfile.read(ln) or b'{}')
-                resp = engine.infer(req['scene_dir'],
+                if not isinstance(req, dict):
+                    raise ValueError('request body must be a JSON object')
+                resp = engine.infer(req.get('scene_dir'),
                                     req.get('out_dir'),
-                                    req.get('train_shift'))
-                engine.stats['total_s'] += resp['runtime_s']
-                engine.stats['last_s'] = resp['runtime_s']
+                                    req.get('train_shift'),
+                                    req.get('scene_dirs'))
+                with engine.stats_lock:
+                    engine.stats['total_s'] += resp['runtime_s']
+                    engine.stats['last_s'] = resp['runtime_s']
                 self._send(200, resp)
-            except (KeyError, ValueError, OSError) as e:
-                engine.stats['errors'] += 1
+            except (KeyError, TypeError, ValueError, OSError) as e:
+                with engine.stats_lock:
+                    engine.stats['errors'] += 1
                 self._send(400, {'error': f'{type(e).__name__}: {e}'})
 
     return ThreadingHTTPServer((host, port), Handler)
@@ -196,6 +265,10 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
               help='Checkpoint-dir mode: serve the shift ensemble')
 @click.option('--train_shift', default=0.0, type=float,
               help='Default static re-centering shift applied to scenes')
+@click.option('--data_root', default='', type=click.Path(),
+              help='Confine scene_dir/out_dir paths to this directory tree '
+                   '(set this whenever --host is not loopback; the API has '
+                   'no authentication)')
 @click.option('--warmup_size', default=0,
               help='Checkpoint-dir mode: compile for this scene size at '
                    'startup (artifacts always warm at their exported shape)')
@@ -203,14 +276,14 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
               help='Skip the startup compile')
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
               help='Persistent XLA compilation-cache directory')
-def main(model, host, port, val_ensamble, train_shift, warmup_size,
-         no_warmup, jax_cache):
+def main(model, host, port, val_ensamble, train_shift, data_root,
+         warmup_size, no_warmup, jax_cache):
     """Serve depth inference from an export artifact or checkpoint dir."""
     if jax_cache:
         from .utils.jaxcache import enable_compilation_cache
         enable_compilation_cache(jax_cache)
     engine = InferenceEngine(model, val_ensamble=val_ensamble,
-                             train_shift=train_shift)
+                             train_shift=train_shift, data_root=data_root)
     if not no_warmup:
         shape = engine.warmup(warmup_size)
         if shape:

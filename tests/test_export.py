@@ -103,6 +103,23 @@ def test_export_inn(tmp_path):
                                   np.asarray(ref['mean']))
 
 
+def test_inn_ensemble_rejected_as_value_error(tmp_path):
+    """Library callers (serve engine) get ValueError, not a click type."""
+    data = str(tmp_path / 'data')
+    generate_dataset(data, scenes=1, size=64, seed=0)
+    out = str(tmp_path / 'run_inn')
+    os.makedirs(out)
+    cfg = Config(
+        train_trainset=data, train_valset=data,
+        train_bs=2, train_ps=32, train_lr=1e-4, train_max_downscale=1,
+        val_interval=2, train_steps=2, val_loss_margin=5,
+        model_views=9, model_in_blocks=1, model_out_blocks=1,
+        model_inn=True).finalize()
+    train(cfg, out, progress=False)
+    with pytest.raises(ValueError, match='val_ensamble does not apply'):
+        build_inference(out, val_ensamble=True)
+
+
 def test_bad_artifact_rejected(tmp_path):
     p = str(tmp_path / 'junk.bin')
     with open(p, 'wb') as f:

@@ -91,6 +91,55 @@ def test_infer_bad_request(server):
     assert code == 400 and 'error' in resp
     code, _ = _request(port, 'POST', '/nope')
     assert code == 404
+    # non-object JSON bodies get a clean 400, not a dropped connection
+    for body in ([1], 'x', 3, None, {}):
+        code, resp = _request(port, 'POST', '/infer', body)
+        assert code == 400 and 'error' in resp, body
+
+
+def test_batched_artifact(env, tmp_path):
+    """--batch 2 artifacts serve single scenes (padded) and scene lists."""
+    root, ckpt, scene = env
+    from mmlf_tpu.export import export_inference
+    path = str(tmp_path / 'b2.mmlf')
+    with open(path, 'wb') as f:
+        f.write(export_inference(ckpt, 64, 64, batch=2, platforms=('cpu',)))
+
+    engine = InferenceEngine(path)
+    assert engine.warmup() == (64, 64)
+
+    single = engine.infer(scene)
+    assert single['shape'] == [64, 64] and np.isfinite(single['mse'])
+
+    out = str(tmp_path / 'multi')
+    multi = engine.infer(out_dir=out, scene_dirs=[scene, scene])
+    assert len(multi['scenes']) == 2
+    for r in multi['scenes']:
+        np.testing.assert_allclose(r['mse'], single['mse'], rtol=1e-5)
+        assert os.path.exists(r['artifacts'][0])
+    # per-scene subdirs under out_dir
+    assert os.path.dirname(multi['scenes'][0]['artifacts'][0]) == \
+        os.path.join(out, multi['scenes'][0]['scene'])
+
+    with pytest.raises(ValueError, match='artifact batch'):
+        engine.infer(scene_dirs=[scene, scene, scene])
+
+    # checkpoint-dir mode has no batch limit: jits at the request's batch
+    ck = InferenceEngine(ckpt)
+    multi_ck = ck.infer(scene_dirs=[scene, scene, scene])
+    assert len(multi_ck['scenes']) == 3
+    np.testing.assert_allclose(multi_ck['scenes'][0]['mse'],
+                               single['mse'], rtol=1e-5)
+
+
+def test_data_root_confinement(env):
+    root, ckpt, scene = env
+    engine = InferenceEngine(ckpt, data_root=str(root))
+    assert np.isfinite(engine.infer(scene)['disp']['mean'])
+    with pytest.raises(ValueError, match='outside --data_root'):
+        engine.infer('/etc')
+    with pytest.raises(ValueError, match='outside --data_root'):
+        engine.infer(scene, out_dir='/tmp/elsewhere')
 
 
 def test_artifact_mode_shape_guard(env, tmp_path):
