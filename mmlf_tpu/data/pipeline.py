@@ -53,8 +53,8 @@ MIN_WRAP_GUARD = 5  # …and the crop keeps ≥ this many guard pixels each side
 class AugParams(NamedTuple):
     """Per-sample augmentation parameters (host-sampled, device-applied)."""
     shift: jnp.ndarray       # (b,) random sub-pixel shift disparity
-    y_off: jnp.ndarray       # (b,) crop offset within the window, [0, 8]
-    x_off: jnp.ndarray       # (b,)
+    y_off: jnp.ndarray       # (b,) crop offset within the window,
+    x_off: jnp.ndarray       # (b,) [0, win - ps - EXTRA//2 - MIN_WRAP_GUARD]
     rot_k: jnp.ndarray       # (b,) number of 90° rotations, [0, 3]
     color: jnp.ndarray       # (b, 3, 3) color redistribution matrix
     brightness: jnp.ndarray  # (b,)
@@ -117,8 +117,6 @@ class TrainPipeline:
                 mpi=pad_mpi(mpi.astype(np.float32)),
                 mask=mask.astype(np.int32)))
 
-        self.length = len(dataset) if len(dataset) else len(self.scenes)
-
         # clamp the downsample range to factors whose level still fits one
         # window (the reference would crash cropping a too-small image;
         # degrading gracefully is strictly more robust)
@@ -163,11 +161,6 @@ class TrainPipeline:
         max_off = win - self.ps - EXTRA // 2 - MIN_WRAP_GUARD
         return (ws_y, ws_x, min(int(y112 - ws_y), max_off),
                 min(int(x112 - ws_x), max_off))
-
-    def _window(self, scene: dict, f: int):
-        """Extract one stride-f window; returns field dict + crop offsets."""
-        ws_y, ws_x, y_off, x_off = self._positions(scene['gt'].shape, f)
-        return self._cut_window(scene, f, ws_y, ws_x), y_off, x_off
 
     def _cut_window(self, scene: dict, f: int, ws_y: int, ws_x: int):
         """Copy one stride-f window at a given start (RNG-free, thread-safe)."""
@@ -309,7 +302,7 @@ def augment_sample(h, v, i, d, gt, mpi, mask, aug: AugParams, ps: int):
     mpi = mpi.at[..., 4].add(-aug.shift)
 
     # RandomCrop completion + CenterCrop: the ps patch starts at
-    # (y_off + EXTRA/2) within the window (see TrainPipeline._window)
+    # (y_off + EXTRA/2) within the window (see TrainPipeline._positions)
     y0 = aug.y_off + EXTRA // 2
     x0 = aug.x_off + EXTRA // 2
     crop_s = lambda a: jax.lax.dynamic_slice(

@@ -77,8 +77,8 @@ def masked_cross_entropy(output, target, mask):
     :param target: ``(b, H, W, S)`` soft class weights
     """
     scores = jnp.maximum(output['scores'], 0.0)
-    lse = jnp.log(jnp.sum(jnp.exp(scores), axis=-1))
-    loss = lse - jnp.sum(scores * target, axis=-1)
+    lse = logsumexp(scores, axis=-1)   # max-subtracted: no overflow at
+    loss = lse - jnp.sum(scores * target, axis=-1)   # large logits
     return _masked_mean(loss, mask)
 
 

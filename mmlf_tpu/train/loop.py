@@ -46,8 +46,9 @@ from ..models.ensemble import ensemble_forward
 from ..models.invertible import NOT_SUPPORTED_MSG
 from ..ops.codecs import mpi_to_weights, reg_to_class
 from ..ops.masks import create_mask_margin
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
-from .checkpoint import ModelSaver, has_checkpoint, load_checkpoint
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from .checkpoint import (ModelSaver, has_checkpoint, load_checkpoint,
+                         load_checkpoint_raw)
 
 LOG_HEADER = (f'{"iter":>7}, loss_train,   loss_val,        mse, '
               'badpix_007, time_elapsed')
@@ -286,20 +287,31 @@ def train(cfg: Config, output_dir: str,
     if cfg.model_invertible:
         raise NotImplementedError(NOT_SUPPORTED_MSG)
 
+    # a resumed run must NOT replay the sample/augmentation stream of
+    # steps 0..N (the reference's DataLoader also reshuffles freshly on
+    # restart) — offset the seed by the checkpoint's iteration so the
+    # continuation is deterministic but new
+    resume_i = 0
+    if cfg.train_resume and has_checkpoint(output_dir):
+        _, _meta0, _ = load_checkpoint_raw(output_dir)
+        resume_i = int(_meta0['iteration'])
+    rng_seed = cfg.train_seed + resume_i
+
     # the host-pipeline transform chain draws from the stdlib/np global
     # RNGs (reference-faithful); pin them so --train_seed reproduces runs
     # (the device pipelines use their own seeded np.Generator)
     import random
-    random.seed(cfg.train_seed)
-    np.random.seed(cfg.train_seed)
+    random.seed(rng_seed)
+    np.random.seed(rng_seed)
 
     trainset = HCI4D(cfg.train_trainset, cache=True, length=4096)
 
-    # data-parallel mesh over all local devices (when the batch divides)
+    # data-parallel mesh over the requested (--mesh_data, default: all
+    # local) devices, when the batch divides the MESH size
     ndev = len(jax.devices())
-    use_mesh = ndev > 1 and cfg.train_bs % ndev == 0
-    mesh = make_mesh(ndev if cfg.mesh_data == 0 else cfg.mesh_data) \
-        if use_mesh else None
+    mesh_n = cfg.mesh_data if cfg.mesh_data else ndev
+    use_mesh = 1 < mesh_n <= ndev and cfg.train_bs % mesh_n == 0
+    mesh = make_mesh(mesh_n) if use_mesh else None
 
     # prefer the device-resident pipeline (scenes in HBM, index-only
     # batches) unless forced off or the cache would not fit
@@ -321,12 +333,18 @@ def train(cfg: Config, output_dir: str,
     if use_device_cache:
         # cache replicated across the mesh so every chip gathers locally
         pipeline = DevicePipeline(
-            trainset, cfg, seed=cfg.train_seed,
+            trainset, cfg, seed=rng_seed,
             sharding=replicated(mesh) if mesh is not None else None)
         cache = pipeline.cache
     else:
-        pipeline = TrainPipeline(trainset, cfg, seed=cfg.train_seed)
+        pipeline = TrainPipeline(trainset, cfg, seed=rng_seed)
         cache = None
+    # NO transform — in-train validation feeds UNSHIFTED scenes even when
+    # train_shift != 0, exactly like the reference (its valset is built
+    # without the Shift transform, reference train/cli.py:102-105; only
+    # the validate CLI re-applies the shift).  In-train val metrics under
+    # a static shift are therefore comparable to the reference's, not to
+    # the validate CLI's.
     valset = HCI4D(cfg.train_valset, cache=True)
 
     if cfg.model_inn:
@@ -354,7 +372,6 @@ def train(cfg: Config, output_dir: str,
 
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
-        b_shard = batch_sharding(mesh)
 
     step_train = make_train_step(cfg, model, tx, bn_train=True,
                                  use_cache=cache is not None, mesh=mesh)
@@ -371,7 +388,10 @@ def train(cfg: Config, output_dir: str,
 
     model_saver = ModelSaver(only_best=False)
     loss_val_avg = mse_avg = bad_pix_avg = 0.0
+    # first row's time_elapsed is the absolute unix time — the reference's
+    # exact quirk (reference train/cli.py:184 `time_start = 0`)
     time_start = 0.0
+    profiling = False
 
 
     parity_guard = cache is not None and not cfg.train_no_data_augment
@@ -386,8 +406,7 @@ def train(cfg: Config, output_dir: str,
                 from ..data.pipeline import check_rot_parity
                 check_rot_parity(batch.aug.rot_k, accum_n)
             if mesh is not None:
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, b_shard), batch)
+                batch = shard_batch(mesh, batch)
 
             eval_mode = (cfg.train_eval_mode
                          and i >= cfg.train_eval_mode_start)
@@ -399,11 +418,13 @@ def train(cfg: Config, output_dir: str,
             # clock): optional profiler trace of steady-state steps + NaN guard
             if cfg.train_profile and i == 10:
                 jax.profiler.start_trace(os.path.join(output_dir, 'profile'))
+                profiling = True
             state, loss_train = (step_eval if eval_mode else step_train)(
                 state, batch, cache)
-            if cfg.train_profile and i == 15:
+            if profiling and i >= 15:
                 jax.block_until_ready(loss_train)
                 jax.profiler.stop_trace()
+                profiling = False
                 print(f'profiler trace written to {output_dir}/profile')
 
             if cfg.train_nan_guard and not np.isfinite(float(loss_train)):
@@ -469,6 +490,15 @@ def train(cfg: Config, output_dir: str,
         # replace it as the visible root cause (ADVICE r2) — log it and
         # let the original exception continue.
         in_flight = sys.exc_info()[0] is not None
+        if profiling:
+            # short runs (train_steps < 16) and mid-trace exceptions must
+            # still flush the trace to disk
+            try:
+                jax.profiler.stop_trace()
+                print(f'profiler trace written to {output_dir}/profile')
+            except Exception as exc:
+                print(f'profiler stop failed during shutdown: {exc!r}',
+                      file=sys.stderr)
         try:
             model_saver.close()
         except Exception as exc:

@@ -63,6 +63,21 @@ def test_cross_entropy_matches_naive():
     assert got == pytest.approx(expect, rel=1e-5)
 
 
+def test_cross_entropy_stable_at_large_logits():
+    """The log-space form must not overflow where exp(logit) does (~88.7
+    in fp32) — the stability the docstring promises over the reference's
+    exp/exp formulation."""
+    scores = np.zeros((1, 2, 2, 4), np.float32)
+    scores[..., 0] = 500.0                     # exp(500) = inf in fp32
+    target = np.zeros_like(scores)
+    target[..., 0] = 1.0                       # correct class
+    mask = np.ones((1, 2, 2), np.int32)
+    got = float(losses.masked_cross_entropy(_out(None, scores=scores),
+                                            target, mask))
+    # lse([500,0,0,0]) - 500 ≈ 0 up to exp(-500) terms
+    assert np.isfinite(got) and got == pytest.approx(0.0, abs=1e-5)
+
+
 def test_multi_masked_l1_matches_singleplane_l1():
     """A 1-plane MPI with alpha=1 must reduce to plain masked L1."""
     rng = np.random.default_rng(1)

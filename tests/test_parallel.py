@@ -50,6 +50,38 @@ def test_train_loop_on_8_device_mesh(data_dirs, tmp_path):
     assert all(np.isfinite(losses))
 
 
+def _mesh_cfg(data_dirs, tmp_path, name, **kw):
+    train_dir, val_dir = data_dirs
+    out = str(tmp_path / name)
+    os.makedirs(out)
+    base = dict(
+        train_trainset=train_dir, train_valset=val_dir,
+        train_bs=16, train_ps=32, train_lr=1e-3, train_max_downscale=1,
+        val_interval=3, val_loss_margin=5, train_steps=1,
+        model_chs=6, model_in_blocks=1, model_out_blocks=2,
+    )
+    base.update(kw)
+    return Config(**base).finalize(), out
+
+
+def test_mesh_data_divisibility_uses_mesh_size(data_dirs, tmp_path):
+    """The batch-divisibility gate must test against --mesh_data, not the
+    local device count: bs=6 / mesh_data=2 runs SHARDED on 8 devices
+    (6 % 8 != 0), and bs=8 / mesh_data=3 falls back to single-device
+    instead of crashing the (8,...) device_put over 3 shards."""
+    from mmlf_tpu.train.loop import train
+
+    cfg, out = _mesh_cfg(data_dirs, tmp_path, 'm2', train_bs=6, mesh_data=2)
+    state = train(cfg, out, progress=False)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 2
+
+    cfg, out = _mesh_cfg(data_dirs, tmp_path, 'm3', train_bs=8, mesh_data=3)
+    state = train(cfg, out, progress=False)   # pre-fix: device_put crash
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 1
+
+
 def test_sharded_step_matches_single_device(data_dirs):
     """Loss and gradients on the 8-device mesh must equal the single-device
     run (global-batch semantics; XLA inserts the gradient psum).

@@ -84,6 +84,45 @@ def test_resume_restores_step_and_params(data_dirs, tmp_path):
     assert iters == [0, 1, 2, 2, 3, 4]   # step-3 run + resumed 2..4
 
 
+def test_resume_does_not_replay_rng_stream(data_dirs, tmp_path, monkeypatch):
+    """A resumed run must draw a FRESH deterministic sample stream (seed
+    offset by the checkpoint iteration), not replay steps 0..N — the
+    reference's DataLoader likewise reshuffles on restart."""
+    import mmlf_tpu.train.loop as loop_mod
+
+    seen = []
+    orig = loop_mod.DevicePipeline
+
+    class Recording(orig):
+        def __init__(self, *a, **kw):
+            seen.append(kw.get('seed'))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, 'DevicePipeline', Recording)
+
+    out = str(tmp_path / 'rngresume')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, train_steps=3, train_seed=11)
+    train(cfg, out, progress=False)                  # checkpoints at i=2
+    cfg2 = _cfg(data_dirs, train_steps=5, train_seed=11, train_resume=True)
+    train(cfg2, out, progress=False)
+    assert seen[0] == 11          # fresh run: the configured seed
+    assert seen[1] == 11 + 2      # resumed run: seed + stored iteration
+
+
+def test_profiler_trace_flushed_on_short_run(data_dirs, tmp_path):
+    """--train_profile starts tracing at step 10; a run shorter than the
+    step-15 stop must still flush the trace on exit."""
+    out = str(tmp_path / 'prof')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, train_steps=12, train_profile=True)
+    train(cfg, out, progress=False)
+    prof = os.path.join(out, 'profile')
+    assert os.path.isdir(prof)
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(prof) for f in fs]
+    assert files, 'profiler trace was not written'
+
+
 def test_train_loss_decreases_base(data_dirs, tmp_path):
     """On the synthetic scenes a small model must make progress."""
     out = str(tmp_path / 'learn')
