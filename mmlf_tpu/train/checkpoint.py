@@ -107,6 +107,18 @@ def load_checkpoint_raw(out_dir: str):
     return restored, meta, hyper
 
 
+def restore_from_raw(raw: dict, state_template: dict):
+    """Shape an already-decoded raw tree (``load_checkpoint_raw``) into
+    ``state_template`` — the second half of ``load_checkpoint`` without
+    re-reading and re-decoding the file.  Returns (state_tree, meta).
+    """
+    template = dict(state_template)
+    template['__meta__'] = {'epoch': 0, 'iteration': 0, 'loss': 0.0}
+    restored = serialization.from_state_dict(template, raw)
+    meta = restored.pop('__meta__')
+    return restored, meta
+
+
 def has_checkpoint(out_dir: str) -> bool:
     return os.path.exists(os.path.join(out_dir, CKPT_FILE))
 

@@ -47,8 +47,8 @@ from ..models.invertible import NOT_SUPPORTED_MSG
 from ..ops.codecs import mpi_to_weights, reg_to_class
 from ..ops.masks import create_mask_margin
 from ..parallel.mesh import make_mesh, replicated, shard_batch
-from .checkpoint import (ModelSaver, has_checkpoint, load_checkpoint,
-                         load_checkpoint_raw)
+from .checkpoint import (ModelSaver, has_checkpoint, load_checkpoint_raw,
+                         restore_from_raw)
 
 LOG_HEADER = (f'{"iter":>7}, loss_train,   loss_val,        mse, '
               'badpix_007, time_elapsed')
@@ -289,13 +289,20 @@ def train(cfg: Config, output_dir: str,
 
     # a resumed run must NOT replay the sample/augmentation stream of
     # steps 0..N (the reference's DataLoader also reshuffles freshly on
-    # restart) — offset the seed by the checkpoint's iteration so the
-    # continuation is deterministic but new
+    # restart) — derive a fresh deterministic seed from (train_seed,
+    # iteration).  SeedSequence-mixed rather than additive so a resumed
+    # seed-11 run never collides with an independent seed-13 run.  The
+    # checkpoint is decoded ONCE here and reused for the state restore
+    # below (it can be GBs of params + Adam moments).
+    resume_raw = None
     resume_i = 0
     if cfg.train_resume and has_checkpoint(output_dir):
-        _, _meta0, _ = load_checkpoint_raw(output_dir)
+        resume_raw, _meta0, _ = load_checkpoint_raw(output_dir)
         resume_i = int(_meta0['iteration'])
-    rng_seed = cfg.train_seed + resume_i
+        resume_raw['__meta__'] = _meta0
+    rng_seed = cfg.train_seed if resume_i == 0 else int(
+        np.random.SeedSequence([cfg.train_seed, resume_i])
+        .generate_state(1)[0])
 
     # the host-pipeline transform chain draws from the stdlib/np global
     # RNGs (reference-faithful); pin them so --train_seed reproduces runs
@@ -312,6 +319,15 @@ def train(cfg: Config, output_dir: str,
     mesh_n = cfg.mesh_data if cfg.mesh_data else ndev
     use_mesh = 1 < mesh_n <= ndev and cfg.train_bs % mesh_n == 0
     mesh = make_mesh(mesh_n) if use_mesh else None
+    if mesh is None and mesh_n > 1:
+        # a degraded-but-running fallback must be LOUD: an unnoticed
+        # single-device run on an N-device host burns N× step time
+        why = (f'mesh size {mesh_n} exceeds the {ndev} local device(s)'
+               if mesh_n > ndev else
+               f'batch size {cfg.train_bs} does not divide over {mesh_n} '
+               f'devices')
+        print(f'WARNING: data-parallel mesh disabled ({why}); training '
+              f'single-device', file=sys.stderr)
 
     # prefer the device-resident pipeline (scenes in HBM, index-only
     # batches) unless forced off or the cache would not fit
@@ -359,11 +375,12 @@ def train(cfg: Config, output_dir: str,
     state = init_state(cfg, model, tx, dummy)
 
     i = 0
-    if cfg.train_resume and has_checkpoint(output_dir):
+    if resume_raw is not None:
         print('Resume training...')
         tree = {'params': state.params, 'batch_stats': state.batch_stats,
                 'opt_state': state.opt_state}
-        restored, meta, _ = load_checkpoint(output_dir, tree)
+        restored, meta = restore_from_raw(resume_raw, tree)
+        resume_raw = None   # free the host copy
         state = TrainState(params=restored['params'],
                            batch_stats=restored['batch_stats'],
                            opt_state=restored['opt_state'],

@@ -29,27 +29,6 @@ def data_dirs(tmp_path_factory):
     return train_dir, val_dir
 
 
-def test_train_loop_on_8_device_mesh(data_dirs, tmp_path):
-    """The full train() path with bs divisible by the mesh: device cache
-    replicated, batch sharded, gradients psum'd by XLA."""
-    from mmlf_tpu.train.loop import train
-
-    train_dir, val_dir = data_dirs
-    out = str(tmp_path / 'mesh_run')
-    os.makedirs(out)
-    cfg = Config(
-        train_trainset=train_dir, train_valset=val_dir,
-        train_bs=16, train_ps=32, train_lr=1e-3, train_max_downscale=1,
-        val_interval=3, val_loss_margin=5, train_steps=3,
-        model_chs=6, model_in_blocks=1, model_out_blocks=2,
-    ).finalize()
-    state = train(cfg, out, progress=False)
-    assert int(state.step) == 3
-    log = open(os.path.join(out, 'log.csv')).read().splitlines()
-    losses = [float(l.split(',')[1]) for l in log[1:]]
-    assert all(np.isfinite(losses))
-
-
 def _mesh_cfg(data_dirs, tmp_path, name, **kw):
     train_dir, val_dir = data_dirs
     out = str(tmp_path / name)
@@ -62,6 +41,20 @@ def _mesh_cfg(data_dirs, tmp_path, name, **kw):
     )
     base.update(kw)
     return Config(**base).finalize(), out
+
+
+def test_train_loop_on_8_device_mesh(data_dirs, tmp_path):
+    """The full train() path with bs divisible by the mesh: device cache
+    replicated, batch sharded, gradients psum'd by XLA."""
+    from mmlf_tpu.train.loop import train
+
+    cfg, out = _mesh_cfg(data_dirs, tmp_path, 'mesh_run',
+                         train_bs=16, train_steps=3)
+    state = train(cfg, out, progress=False)
+    assert int(state.step) == 3
+    log = open(os.path.join(out, 'log.csv')).read().splitlines()
+    losses = [float(l.split(',')[1]) for l in log[1:]]
+    assert all(np.isfinite(losses))
 
 
 def test_mesh_data_divisibility_uses_mesh_size(data_dirs, tmp_path):

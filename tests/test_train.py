@@ -86,8 +86,10 @@ def test_resume_restores_step_and_params(data_dirs, tmp_path):
 
 def test_resume_does_not_replay_rng_stream(data_dirs, tmp_path, monkeypatch):
     """A resumed run must draw a FRESH deterministic sample stream (seed
-    offset by the checkpoint iteration), not replay steps 0..N — the
-    reference's DataLoader likewise reshuffles on restart."""
+    mixed from train_seed and the checkpoint iteration), not replay steps
+    0..N — the reference's DataLoader likewise reshuffles on restart.
+    SeedSequence mixing (not addition) so a resumed seed-11 run never
+    collides with an independent seed-13 run."""
     import mmlf_tpu.train.loop as loop_mod
 
     seen = []
@@ -107,7 +109,9 @@ def test_resume_does_not_replay_rng_stream(data_dirs, tmp_path, monkeypatch):
     cfg2 = _cfg(data_dirs, train_steps=5, train_seed=11, train_resume=True)
     train(cfg2, out, progress=False)
     assert seen[0] == 11          # fresh run: the configured seed
-    assert seen[1] == 11 + 2      # resumed run: seed + stored iteration
+    expect = int(np.random.SeedSequence([11, 2]).generate_state(1)[0])
+    assert seen[1] == expect      # resumed: mixed(seed, stored iteration)
+    assert seen[1] != 11 + 2      # NOT additive (collision-prone)
 
 
 def test_profiler_trace_flushed_on_short_run(data_dirs, tmp_path):
