@@ -81,14 +81,9 @@ def load_checkpoint(out_dir: str, state_template: dict):
 
     Returns (state_tree, meta_dict, hyper_parameters).
     """
-    with open(os.path.join(out_dir, CKPT_FILE), 'rb') as f:
-        data = f.read()
-    template = dict(state_template)
-    template['__meta__'] = {'epoch': 0, 'iteration': 0, 'loss': 0.0}
-    restored = serialization.from_bytes(template, data)
-    meta = restored.pop('__meta__')
-    with open(os.path.join(out_dir, HYPER_FILE)) as f:
-        hyper = json.load(f)
+    raw, meta, hyper = load_checkpoint_raw(out_dir)
+    raw['__meta__'] = meta
+    restored, meta = restore_from_raw(raw, state_template)
     return restored, meta, hyper
 
 

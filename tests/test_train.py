@@ -84,6 +84,41 @@ def test_resume_restores_step_and_params(data_dirs, tmp_path):
     assert iters == [0, 1, 2, 2, 3, 4]   # step-3 run + resumed 2..4
 
 
+def test_checkpoint_template_roundtrip(tmp_path):
+    """save → load_checkpoint restores tuple-typed optimizer state into
+    the template's types (the raw msgpack tree alone turns tuples into
+    index-keyed dicts), and the decode-once path (load_checkpoint_raw +
+    restore_from_raw) agrees with it."""
+    from mmlf_tpu.train.checkpoint import (load_checkpoint,
+                                           load_checkpoint_raw,
+                                           restore_from_raw,
+                                           save_checkpoint)
+
+    tree = {'params': {'w': np.arange(6, dtype=np.float32).reshape(2, 3)},
+            'opt_state': (np.float32(0.9), {'mu': np.ones(3, np.float32)})}
+    out = str(tmp_path)
+    save_checkpoint(out, tree, {'model_chs': 8}, epoch=1, iteration=7,
+                    loss=0.5)
+
+    template = {'params': {'w': np.zeros((2, 3), np.float32)},
+                'opt_state': (np.float32(0), {'mu': np.zeros(3, np.float32)})}
+    restored, meta, hyper = load_checkpoint(out, template)
+    assert isinstance(restored['opt_state'], tuple)
+    np.testing.assert_array_equal(restored['params']['w'],
+                                  tree['params']['w'])
+    np.testing.assert_array_equal(restored['opt_state'][1]['mu'],
+                                  tree['opt_state'][1]['mu'])
+    assert meta['iteration'] == 7 and hyper['model_chs'] == 8
+
+    raw, meta2, _ = load_checkpoint_raw(out)
+    raw['__meta__'] = meta2
+    restored2, meta3 = restore_from_raw(raw, template)
+    assert isinstance(restored2['opt_state'], tuple)
+    np.testing.assert_array_equal(restored2['params']['w'],
+                                  restored['params']['w'])
+    assert meta3['iteration'] == 7
+
+
 def test_resume_does_not_replay_rng_stream(data_dirs, tmp_path, monkeypatch):
     """A resumed run must draw a FRESH deterministic sample stream (seed
     mixed from train_seed and the checkpoint iteration), not replay steps
