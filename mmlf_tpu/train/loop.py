@@ -21,6 +21,7 @@ counter, so resume needs no optimizer-LR surgery.
 
 from __future__ import annotations
 
+import collections
 import os
 import sys
 import time
@@ -410,9 +411,28 @@ def train(cfg: Config, output_dir: str,
     time_start = 0.0
     profiling = False
 
-
     parity_guard = cache is not None and not cfg.train_no_data_augment
     accum_n = max(1, int(getattr(cfg, 'train_accum', 1)))
+
+    # Reading the loss back for the log row forces a full device sync
+    # every step — on the remote TPU that idles the chip for ~2 relay
+    # RTTs + the host work (~16% of a bs=128 step, bench.py's async vs
+    # synced gap).  Emit log rows through a small lag ring instead: the
+    # D2H copy is started asynchronously at dispatch time and the row is
+    # printed log_lag steps later with identical values, so the device
+    # always has the next step enqueued.  --train_nan_guard keeps lag 0:
+    # it must sync every step anyway to fail BEFORE the val-step
+    # checkpoint can save the poisoned state, so lagging buys nothing.
+    log_lag = 0 if cfg.train_nan_guard else 3
+    pending = collections.deque()   # (step, loss_dev, val snapshot, dt)
+
+    def emit_row(row):
+        j, loss_dev, lv, ms, bp, dt = row
+        line = (f'{j:>7}, {float(loss_dev):.8f}, {lv:.8f}, '
+                f'{ms:.8f}, {bp:.8f}, {dt:.8f}')
+        if progress:
+            print(line)
+        print(line, file=log, flush=True)
 
     try:
         while True:
@@ -488,16 +508,19 @@ def train(cfg: Config, output_dir: str,
                 model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
                             loss_val_avg)
 
-            line = (f'{i:>7}, {float(loss_train):.8f}, {loss_val_avg:.8f}, '
-                    f'{mse_avg:.8f}, {bad_pix_avg:.8f}, {time_elap:.8f}')
-            if progress:
-                print(line)
-            print(line, file=log, flush=True)
+            if hasattr(loss_train, 'copy_to_host_async'):
+                loss_train.copy_to_host_async()   # overlap D2H with compute
+            pending.append((i, loss_train, loss_val_avg, mse_avg,
+                            bad_pix_avg, time_elap))
+            while len(pending) > log_lag:
+                emit_row(pending.popleft())
 
             i += 1
             time_start = time.time()
             if cfg.train_steps and i >= cfg.train_steps:
                 break
+        while pending:
+            emit_row(pending.popleft())
 
     finally:
         # drain the async checkpoint writer even when the loop raises
@@ -516,6 +539,14 @@ def train(cfg: Config, output_dir: str,
             except Exception as exc:
                 print(f'profiler stop failed during shutdown: {exc!r}',
                       file=sys.stderr)
+        try:
+            # best-effort flush of lagged log rows when the loop raised
+            # mid-stream (clean exits drained `pending` already)
+            while pending:
+                emit_row(pending.popleft())
+        except Exception as exc:
+            print(f'log flush failed during shutdown: {exc!r}',
+                  file=sys.stderr)
         try:
             model_saver.close()
         except Exception as exc:
