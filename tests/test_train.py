@@ -149,6 +149,33 @@ def test_resume_does_not_replay_rng_stream(data_dirs, tmp_path, monkeypatch):
     assert seen[1] != 11 + 2      # NOT additive (collision-prone)
 
 
+def test_nan_guard_fails_before_checkpoint(data_dirs, tmp_path, monkeypatch):
+    """--train_nan_guard must raise BEFORE the val-step checkpoint can
+    persist the poisoned state (this ordering is why the guard keeps the
+    log readback synchronous, loop.py log_lag)."""
+    import mmlf_tpu.train.loop as loop_mod
+
+    orig = loop_mod.make_train_step
+
+    def poisoned(*a, **kw):
+        step = orig(*a, **kw)
+        if kw.get('bn_train', True):
+            def bad_step(state, batch, cache):
+                state, loss = step(state, batch, cache)
+                return state, loss * np.float32('nan')
+            return bad_step
+        return step
+
+    monkeypatch.setattr(loop_mod, 'make_train_step', poisoned)
+    out = str(tmp_path / 'nan')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, train_steps=3, train_nan_guard=True)
+    with pytest.raises(FloatingPointError, match='step 0'):
+        train(cfg, out, progress=False)
+    # NaN at step 0 fires before the step-0 validation/checkpoint block
+    assert not os.path.exists(os.path.join(out, 'checkpoint.msgpack'))
+
+
 def test_profiler_trace_flushed_on_short_run(data_dirs, tmp_path):
     """--train_profile starts tracing at step 10; a run shorter than the
     step-15 stop must still flush the trace on exit."""
