@@ -85,6 +85,14 @@ class Config:
     # the global batch (and DataParallel's per-replica-64 BN) on ONE chip
     train_profile: bool = False  # capture a jax.profiler trace early on
     train_nan_guard: bool = False  # stop if the loss goes non-finite
+    train_logvar_warmup: int = 0  # ramp the uncertainty (logvar) coupling
+    # over N steps: the training loss sees logvar*min(step/N, 1), so at
+    # step 0 the UPR loss is EXACTLY masked L1 and reaches the reference
+    # loss by step N.  0 (default) = reference-exact.  Stabilizer for the
+    # aleatoric-uncertainty collapse the reference recipe is prone to
+    # (seed-dependent: a badly-initialized logvar head can blow up the
+    # exp(-logvar) term and drag training into a high-uncertainty optimum
+    # where the mean head never learns — see docs/STATUS.md seed-variance)
     model_inn: bool = False      # WORKING invertible network (models/inn.py;
     # the reference's --model_invertible path is dead upstream and fails
     # identically here — this flag is the beyond-reference replacement)

@@ -77,6 +77,11 @@ from .loop import train
               help='[TPU] capture a jax.profiler trace of steps 10-15')
 @click.option('--train_nan_guard', is_flag=True,
               help='[TPU] stop when the loss goes non-finite')
+@click.option('--train_logvar_warmup', default=0,
+              help='[TPU] ramp the uncertainty-loss logvar coupling over N '
+                   'steps (step 0 trains plain L1, reference loss by step '
+                   'N); stabilizes the seed-dependent logvar collapse of '
+                   'the UPR recipe. 0 = reference-exact')
 @click.option('--model_inn', is_flag=True,
               help='[TPU] WORKING invertible network (the reference\'s '
                    '--model_invertible is dead upstream and fails '

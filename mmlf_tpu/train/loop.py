@@ -76,8 +76,21 @@ def lr_schedule(cfg: Config, step):
 
 
 def compute_loss(cfg: Config, output, gt, mpi, gt_classes, mask,
-                 mask_padding):
-    """Head-dependent training loss (reference mmlf/train/cli.py:247-255)."""
+                 mask_padding, step=None):
+    """Head-dependent training loss (reference mmlf/train/cli.py:247-255).
+
+    ``--train_logvar_warmup N`` (TPU extension, default off) scales the
+    logvar the uncertainty losses see by ``min(step/N, 1)``: at step 0 the
+    UPR loss is exactly masked L1 (``exp(0)·|err| + 0``), reaching the
+    reference loss at step N.  This breaks the seed-dependent collapse
+    where a badly-initialized logvar head blows up ``exp(-logvar)`` and
+    training settles in a high-uncertainty optimum (docs/STATUS.md).
+    """
+    if (cfg.model_uncert and cfg.train_logvar_warmup > 0
+            and step is not None):
+        w = jnp.minimum(step.astype(jnp.float32)
+                        / float(cfg.train_logvar_warmup), 1.0)
+        output = dict(output, logvar=output['logvar'] * w)
     if cfg.model_inn:
         # working INN path (beyond reference — models/inn.py); the IB loss
         # ignores the mask like the reference's (loss.py:389)
@@ -178,7 +191,7 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
                                      **mkw)
                 new_stats = state.batch_stats
             loss = compute_loss(cfg, output, gt, mpi, gt_classes, mask,
-                                mask_padding)
+                                mask_padding, step=state.step)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(

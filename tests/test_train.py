@@ -68,6 +68,55 @@ def test_train_multimodal_loss(data_dirs, tmp_path):
     assert int(state.step) == 4
 
 
+def test_logvar_warmup_semantics():
+    """--train_logvar_warmup N: at step 0 the UPR training loss is EXACTLY
+    masked L1; at step >= N it equals the unwarmed reference loss; the
+    default (0) ignores the step entirely."""
+    import jax.numpy as jnp
+    from mmlf_tpu import losses
+    from mmlf_tpu.train.loop import compute_loss
+
+    rng = np.random.default_rng(3)
+    out = {'mean': rng.normal(size=(2, 8, 8)).astype(np.float32),
+           'logvar': rng.normal(size=(2, 8, 8)).astype(np.float32)}
+    gt = rng.normal(size=(2, 8, 8)).astype(np.float32)
+    mask = np.ones((2, 8, 8), np.int32)
+
+    cfg = Config(model_uncert=True, train_logvar_warmup=100).finalize()
+    args = (gt, None, None, mask, None)
+
+    at0 = float(compute_loss(cfg, out, *args, step=jnp.int32(0)))
+    assert at0 == pytest.approx(
+        float(losses.masked_l1(out, gt, mask)), rel=1e-6)
+
+    full = float(losses.improved_uncertainty_l1(out, gt, mask))
+    at_n = float(compute_loss(cfg, out, *args, step=jnp.int32(100)))
+    assert at_n == pytest.approx(full, rel=1e-6)
+
+    # mid-ramp: strictly between neither endpoint's logvar scaling
+    at_half = float(compute_loss(cfg, out, *args, step=jnp.int32(50)))
+    half = {'mean': out['mean'], 'logvar': out['logvar'] * 0.5}
+    assert at_half == pytest.approx(
+        float(losses.improved_uncertainty_l1(half, gt, mask)), rel=1e-6)
+
+    cfg_off = Config(model_uncert=True).finalize()
+    off = float(compute_loss(cfg_off, out, *args, step=jnp.int32(0)))
+    assert off == pytest.approx(full, rel=1e-6)
+
+
+def test_logvar_warmup_trains(data_dirs, tmp_path):
+    """End-to-end: the warmup flag threads through the jitted step (the
+    coupling weight comes from the traced state.step, not a retrace)."""
+    out = str(tmp_path / 'lvw')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, model_uncert=True, train_logvar_warmup=3)
+    state = train(cfg, out, progress=False)
+    assert int(state.step) == 4
+    log = open(os.path.join(out, 'log.csv')).read().splitlines()
+    losses_ = [float(l.split(',')[1]) for l in log[1:]]
+    assert all(np.isfinite(losses_))
+
+
 def test_resume_restores_step_and_params(data_dirs, tmp_path):
     out = str(tmp_path / 'resume')
     os.makedirs(out)
