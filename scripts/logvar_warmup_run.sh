@@ -8,6 +8,9 @@
 set -euo pipefail
 
 ROOT=${PARITY_ROOT:-/tmp/parity}
+# persistent XLA compilation cache: the 2-6 min relay compiles of the
+# train step + per-shape validate programs are paid once across runs
+export MMLF_JAX_CACHE=${MMLF_JAX_CACHE:-/tmp/mmlf_jax_cache}
 STEPS=${PARITY_STEPS:-2000}
 SEED=${PARITY_SEED:-1}
 WARMUP=${PARITY_WARMUP:-200}
