@@ -346,3 +346,33 @@ def test_train_unet_smoke(data_dirs, tmp_path):
               __import__('jax').tree_util.tree_leaves(
                   state.batch_stats['out_net'])]
     assert any(np.abs(l).max() > 0 for l in leaves if l.size)
+
+
+def test_train_cross_smoke(data_dirs, tmp_path):
+    """--model_cross trains the 2-stream (h+v only) variant end-to-end;
+    the pipeline still emits 4 stacks and the model ignores i/d
+    (reference feed_forward.py:81-84, 263-267: steps halve to 2*views*3)."""
+    out = str(tmp_path / 'cross')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, model_cross=True, model_discrete=True,
+               train_steps=2, val_interval=2)
+    assert cfg.steps == 54
+    state = train(cfg, out, progress=False)
+    assert int(state.step) == 2
+    # only the hv stream net exists
+    assert 'in_net_hv' in state.params and 'in_net_id' not in state.params
+
+
+def test_train_strongest_and_eval_mode_smoke(data_dirs, tmp_path):
+    """--train_loss_strongest picks the max-alpha MPI plane as GT
+    (reference train/cli.py:190-192) and --train_eval_mode freezes BN
+    stats from --train_eval_mode_start on (reference :227-231)."""
+    out = str(tmp_path / 'strongest')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, train_loss_strongest=True, train_eval_mode=True,
+               train_eval_mode_start=2, train_steps=4, val_interval=4)
+    state = train(cfg, out, progress=False)
+    assert int(state.step) == 4
+    log = open(os.path.join(out, 'log.csv')).read().splitlines()
+    losses = [float(l.split(',')[1]) for l in log[1:]]
+    assert all(np.isfinite(losses))
