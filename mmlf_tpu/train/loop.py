@@ -419,8 +419,14 @@ def train(cfg: Config, output_dir: str,
 
     model_saver = ModelSaver(only_best=False)
     loss_val_avg = mse_avg = bad_pix_avg = 0.0
-    # first row's time_elapsed is the absolute unix time — the reference's
-    # exact quirk (reference train/cli.py:184 `time_start = 0`)
+    # time_elapsed clock.  Rows are emitted through the lag ring below and
+    # a row's step has only verifiably COMPLETED on device once its loss
+    # readback resolves — so the column is measured between consecutive
+    # emits (≈ true device step wall in steady state), not between
+    # dispatches (which would report the ~ms host time of enqueueing work
+    # on an async backend).  First row's time_elapsed is the absolute unix
+    # time — the reference's exact quirk (reference train/cli.py:184
+    # `time_start = 0`).
     time_start = 0.0
     profiling = False
 
@@ -437,11 +443,16 @@ def train(cfg: Config, output_dir: str,
     # it must sync every step anyway to fail BEFORE the val-step
     # checkpoint can save the poisoned state, so lagging buys nothing.
     log_lag = 0 if cfg.train_nan_guard else 3
-    pending = collections.deque()   # (step, loss_dev, val snapshot, dt)
+    pending = collections.deque()   # (step, loss_dev, val snapshot)
 
     def emit_row(row):
-        j, loss_dev, lv, ms, bp, dt = row
-        line = (f'{j:>7}, {float(loss_dev):.8f}, {lv:.8f}, '
+        nonlocal time_start
+        j, loss_dev, lv, ms, bp = row
+        loss_f = float(loss_dev)    # blocks until step j has executed
+        now = time.time()
+        dt = now - time_start
+        time_start = now
+        line = (f'{j:>7}, {loss_f:.8f}, {lv:.8f}, '
                 f'{ms:.8f}, {bp:.8f}, {dt:.8f}')
         if progress:
             print(line)
@@ -482,9 +493,13 @@ def train(cfg: Config, output_dir: str,
                     f'non-finite training loss at step {i}: '
                     f'{float(loss_train)}')
 
-            time_elap = time.time() - time_start
-
             if i % cfg.val_interval == 0:
+                # flush lagged rows first so validation wall time never
+                # lands inside a training row's time_elapsed (the reference
+                # also excludes it: its time_elap is taken before the val
+                # block, train/cli.py:260,267)
+                while pending:
+                    emit_row(pending.popleft())
                 loss_val_avg = mse_avg = bad_pix_avg = 0.0
                 variables = {'params': state.params,
                              'batch_stats': state.batch_stats}
@@ -521,15 +536,20 @@ def train(cfg: Config, output_dir: str,
                 model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
                             loss_val_avg)
 
+                # exclude the validation wall time from the next row's
+                # clock — but keep the very first row's absolute-unix-time
+                # quirk (time_start == 0 until the first emit)
+                if time_start:
+                    time_start = time.time()
+
             if hasattr(loss_train, 'copy_to_host_async'):
                 loss_train.copy_to_host_async()   # overlap D2H with compute
             pending.append((i, loss_train, loss_val_avg, mse_avg,
-                            bad_pix_avg, time_elap))
+                            bad_pix_avg))
             while len(pending) > log_lag:
                 emit_row(pending.popleft())
 
             i += 1
-            time_start = time.time()
             if cfg.train_steps and i >= cfg.train_steps:
                 break
         while pending:

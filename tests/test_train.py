@@ -376,3 +376,20 @@ def test_train_strongest_and_eval_mode_smoke(data_dirs, tmp_path):
     log = open(os.path.join(out, 'log.csv')).read().splitlines()
     losses = [float(l.split(',')[1]) for l in log[1:]]
     assert all(np.isfinite(losses))
+
+
+def test_log_time_elapsed_semantics(data_dirs, tmp_path):
+    """time_elapsed is measured between row EMITS (when the step's loss
+    readback resolves, i.e. the step verifiably executed) — not between
+    dispatches, which on an async backend would log ~ms enqueue times for
+    multi-second device steps.  Row 0 keeps the reference's quirk of
+    printing the absolute unix time (reference train/cli.py:184)."""
+    out = str(tmp_path / 'timing')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, train_steps=5, val_interval=4)
+    train(cfg, out, progress=False)
+    rows = open(os.path.join(out, 'log.csv')).read().splitlines()[1:]
+    dts = [float(r.split(',')[5]) for r in rows]
+    assert len(dts) == 5
+    assert dts[0] > 1e9                      # unix-time quirk
+    assert all(0.0 <= dt < 1e6 for dt in dts[1:])
