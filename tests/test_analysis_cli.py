@@ -159,3 +159,31 @@ def test_edges_cli(tmp_path):
     r = CliRunner().invoke(main, [str(tmp_path / 'ds')])
     assert r.exit_code == 0, r.output
     assert os.path.exists(scene / 'edges.png')
+
+def test_plot_renderer(artifacts, tmp_path):
+    """The TeX-free figure renderer (visualize/plot.py) draws both CSV
+    kinds the pgfplots builds consume: sparsify.csv (3 series, legend,
+    dashed sparsification error) and a distribution-curve CSV."""
+    from mmlf_tpu.validate.sparsify import main as sparsify
+    from mmlf_tpu.utils.post2csv import main as post2csv
+    from mmlf_tpu.visualize.plot import main as plot, read_csv
+    out, scene, gt = artifacts
+
+    r = CliRunner().invoke(sparsify, [str(out), '--step', '0.1'])
+    assert r.exit_code == 0, r.output
+    png = tmp_path / 'sparsify.png'
+    r = CliRunner().invoke(plot, [str(out / 'sparsify.csv'), str(png)])
+    assert r.exit_code == 0, r.output
+    assert png.stat().st_size > 4000            # a real rendered figure
+
+    r = CliRunner().invoke(post2csv, [str(scene), '5', '6'])
+    assert r.exit_code == 0, r.output
+    svg = tmp_path / 'curve.svg'
+    r = CliRunner().invoke(plot, [str(scene / 'posterior_5_6.csv'),
+                                  str(svg), '--title', 'pixel (5,6)'])
+    assert r.exit_code == 0, r.output
+    assert b'<svg' in svg.read_bytes()[:500]
+
+    names, data = read_csv(str(out / 'sparsify.csv'))
+    assert names == ['frac', 'oracle', 'uncert', 'sparse_err']
+    assert data.shape[1] == 4
