@@ -116,3 +116,42 @@ def test_integer_shift_exact(pipe):
     db = db._replace(aug=db.aug._replace(
         shift=np.array([1.0, -1.0, 0.0, 1.0], np.float32)))
     _compare(pipe, db, atol=1e-6)
+
+
+@pytest.mark.parametrize('ps,shift,maxf,bs,fold,parity,bf16', [
+    (16, 0.0, 1, 4, False, False, False),
+    (16, 2.5, 2, 8, True, True, False),
+    (48, -1.0, 2, 4, False, False, False),   # maxf clamps: win 80 > 64px@f2
+    (48, 0.5, 1, 8, True, True, True),
+    (32, 2.5, 3, 8, True, False, True),
+    (32, -0.5, 2, 6, False, True, False),
+])
+def test_fused_path_config_sweep(tmp_path_factory, ps, shift, maxf, bs,
+                                 fold, parity, bf16):
+    """Randomized-config equivalence sweep: the fused input path must match
+    the legacy gather+augment chain across patch sizes, static shifts,
+    downsample ranges, batch sizes, the fold/parity fast paths, and the
+    bf16 scene cache — not just the one canonical config above."""
+    root = str(tmp_path_factory.mktemp(f'sweep{ps}{maxf}{bs}'))
+    generate_dataset(root, scenes=2, size=128, seed=3)
+    cfg = Config(train_ps=ps, train_max_downscale=maxf, train_shift=shift,
+                 cache_bf16=bf16).finalize()
+    pipe = DevicePipeline(HCI4D(root, cache=True), cfg, seed=7)
+    db = pipe.sample_batch(bs)
+
+    legacy = augment_batch(gather_windows(pipe.cache, db, pipe.win), ps)
+    fused = gather_augment(pipe.cache, db, ps, pipe.win,
+                           parity=parity, fold=fold)
+    atol = 2e-2 if bf16 else 1e-5
+    for name, a, b in zip(['h', 'v', 'i', 'd', 'gt', 'mpi', 'mask'],
+                          legacy, fused):
+        a = np.asarray(a)
+        if fold and name in ('h', 'v', 'i', 'd'):
+            n = a.shape[1]
+            a = np.transpose(a, (0, 2, 3, 1, 4)).reshape(
+                a.shape[0], a.shape[2], a.shape[3], n * 3)
+        np.testing.assert_allclose(
+            a, np.asarray(b), atol=atol,
+            err_msg=f'field {name} diverges at ps={ps} shift={shift} '
+                    f'maxf={maxf} bs={bs} fold={fold} parity={parity} '
+                    f'bf16={bf16}')
