@@ -122,8 +122,9 @@ class AIOCouplingBlock(nn.Module):
                 q = q * jnp.sign(jnp.diag(r))          # unique Q
                 # force det +1 (rotation, like scipy's special_ortho_group)
                 # by negating ONE column when det is -1 — scaling the whole
-                # matrix by det only works for odd c (ADVICE r2)
-                q = q.at[:, 0].multiply(jnp.linalg.det(q))
+                # matrix by det only works for odd c (ADVICE r2); sign()
+                # keeps the column exactly unit-norm (det is ±1 ± fp error)
+                q = q.at[:, 0].multiply(jnp.sign(jnp.linalg.det(q)))
                 return q.astype(jnp.float32)
             p = jax.random.permutation(rng, c)
             return jnp.eye(c, dtype=jnp.float32)[p]
