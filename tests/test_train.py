@@ -393,3 +393,32 @@ def test_log_time_elapsed_semantics(data_dirs, tmp_path):
     assert len(dts) == 5
     assert dts[0] > 1e9                      # unix-time quirk
     assert all(0.0 <= dt < 1e6 for dt in dts[1:])
+
+
+def test_train_accum_with_augmentation_smoke(data_dirs, tmp_path):
+    """The README bs=512 recipe path: gradient accumulation with the
+    device-cache input pipeline and augmentation ON — exercises the
+    per-chunk stratified rotations (DevicePipeline._stratified_rot), the
+    host-side parity guard, and gather_augment(parity=True) inside the
+    accumulation scan."""
+    out = str(tmp_path / 'accum_aug')
+    os.makedirs(out)
+    cfg = _cfg(data_dirs, train_accum=2, train_steps=2, val_interval=2,
+               model_uncert=True)
+    state = train(cfg, out, progress=False)
+    assert int(state.step) == 2
+    log = open(os.path.join(out, 'log.csv')).read().splitlines()
+    losses = [float(l.split(',')[1]) for l in log[1:]]
+    assert all(np.isfinite(losses))
+
+
+def test_check_rot_parity_guard():
+    """The host-side guard must reject batches violating the stratified
+    contract (which would silently de-sync stacks from targets in-step)."""
+    from mmlf_tpu.data.pipeline import check_rot_parity
+    check_rot_parity(np.array([0, 2, 1, 3]), accum=1)
+    check_rot_parity(np.array([0, 1, 2, 3]), accum=2)  # per-chunk halves
+    with pytest.raises(ValueError):
+        check_rot_parity(np.array([1, 2, 0, 3]), accum=1)
+    with pytest.raises(ValueError):
+        check_rot_parity(np.array([0, 2, 1, 3]), accum=2)
