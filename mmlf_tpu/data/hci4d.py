@@ -74,21 +74,35 @@ def _pick_gt_pfm(scene: str, nviews) -> Optional[str]:
 
 
 def load_scene(scene: str, nviews=(9, 9), index: int = 0,
-               texture_mask: bool = True):
-    """Load one scene directory into the 9-tuple sample."""
+               texture_mask: bool = True, raw_views: bool = False):
+    """Load one scene directory into the 9-tuple sample.
+
+    ``raw_views=True`` keeps the four view stacks as raw uint8 (the u8
+    serving ingest — normalization happens on device); every other field
+    (center, gt, mpi, mask) stays float32 as usual.
+    """
     imgs = _list_view_files(scene)
     hs, vs, inc, dec = cross_indices(nviews)
 
-    def stack(idx: Sequence[int]) -> np.ndarray:
-        return np.stack([load_img(os.path.join(scene, imgs[i]))[..., :3]
-                         for i in idx]).astype(np.float32)
+    if raw_views:
+        from ..utils.imgio import load_img_u8
+
+        def stack(idx: Sequence[int]) -> np.ndarray:
+            return np.stack([load_img_u8(os.path.join(scene, imgs[i]))
+                             [..., :3] for i in idx])
+    else:
+        def stack(idx: Sequence[int]) -> np.ndarray:
+            return np.stack([load_img(os.path.join(scene, imgs[i]))[..., :3]
+                             for i in idx]).astype(np.float32)
 
     h_views = stack(hs)
     v_views = stack(vs)
     i_views = stack(inc)
     d_views = stack(dec)
 
-    center = v_views[nviews[1] // 2].copy()
+    center = v_views[nviews[1] // 2].astype(np.float32)
+    if raw_views:
+        center = center / 255.0
 
     gt_path = _pick_gt_pfm(scene, nviews)
     if gt_path is not None:

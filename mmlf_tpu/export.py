@@ -31,12 +31,20 @@ MAGIC = b'MMLFEXP1'
 
 def build_inference(output_dir: str, val_ensamble: bool = False,
                     val_disp_min: float = -3.5, val_disp_max: float = 3.5,
-                    val_disp_step: float = 0.1, members: bool = False):
+                    val_disp_step: float = 0.1, members: bool = False,
+                    u8: bool = False):
     """(fn(variables, h, v, i, d) -> output dict, variables, meta dict).
 
     Mirrors the validate CLI's model reconstruction: stored hyper-parameters
     win, BatchNorm is folded into the convolutions for eval
     (validate/cli.py), and ``val_ensamble`` wraps the scanned ESE.
+
+    ``u8=True`` builds the low-transfer ingest variant: the stacks arrive as
+    RAW uint8 view bytes (4× less host→device traffic than float32) and the
+    program normalizes (/255) AND applies the ``train_shift`` re-centering
+    on device — the signature grows a trailing f32 scalar,
+    ``fn(variables, h, v, i, d, shift)``.  Normalize-then-shift equals the
+    host path's shift-of-normalized views exactly (both are linear).
     """
     from .config import Config
     from .models import FeedForward
@@ -62,7 +70,7 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
                                     'model_no_batchnorm': True})
         model = FeedForward.from_config(cfg)
 
-    def fwd(variables, h, v, i, d):
+    def core(variables, h, v, i, d):
         if val_ensamble:
             from .models.ensemble import ensemble_forward
             out = ensemble_forward(
@@ -78,10 +86,22 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
             out = model.apply(variables, h, v, i, d)
         return {k: v for k, v in out.items() if v is not None}
 
+    if u8:
+        import jax.numpy as jnp
+        from .ops.shift import shift_lf
+
+        def fwd(variables, h, v, i, d, shift):
+            h, v, i, d = (x.astype(jnp.float32) / 255.0
+                          for x in (h, v, i, d))
+            h, v, i, d = shift_lf(h, v, i, d, shift)
+            return core(variables, h, v, i, d)
+    else:
+        fwd = core
+
     meta = {'config': cfg.to_dict(), 'val_ensamble': val_ensamble,
             'val_disp_min': val_disp_min, 'val_disp_max': val_disp_max,
             'val_disp_step': val_disp_step, 'members': members,
-            'views': cfg.model_views}
+            'views': cfg.model_views, 'u8': u8}
     return fwd, variables, meta
 
 
@@ -89,18 +109,24 @@ def export_inference(output_dir: str, height: int, width: int,
                      val_ensamble: bool = False,
                      val_disp_min: float = -3.5, val_disp_max: float = 3.5,
                      val_disp_step: float = 0.1, members: bool = False,
-                     platforms=('tpu', 'cpu'), batch: int = 1) -> bytes:
+                     platforms=('tpu', 'cpu'), batch: int = 1,
+                     u8: bool = False) -> bytes:
     """Serialize the full inference program for ``(batch, views, H, W, 3)``
-    scenes into a self-contained artifact (weights + StableHLO + meta)."""
+    scenes into a self-contained artifact (weights + StableHLO + meta).
+
+    ``u8=True`` artifacts ingest raw uint8 views plus a trailing f32
+    ``shift`` scalar (see ``build_inference``)."""
     fwd, variables, meta = build_inference(
         output_dir, val_ensamble, val_disp_min, val_disp_max, val_disp_step,
-        members)
+        members, u8=u8)
     n = meta['views']
-    stack = jax.ShapeDtypeStruct((batch, n, height, width, 3), np.float32)
+    stack = jax.ShapeDtypeStruct((batch, n, height, width, 3),
+                                 np.uint8 if u8 else np.float32)
     var_shapes = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables)
+    extra = (jax.ShapeDtypeStruct((), np.float32),) if u8 else ()
     exported = jex.export(jax.jit(fwd), platforms=list(platforms))(
-        var_shapes, stack, stack, stack, stack)
+        var_shapes, stack, stack, stack, stack, *extra)
 
     from flax import serialization
     meta = dict(meta, height=height, width=width, batch=batch,
@@ -158,13 +184,17 @@ def load_exported(path_or_bytes):
 @click.option('--members', is_flag=True,
               help='Keep the per-member mean/logvar stacks in the ESE '
                    'output (large)')
+@click.option('--u8', is_flag=True,
+              help='Low-transfer ingest: the artifact takes RAW uint8 view '
+                   'stacks plus a runtime f32 shift scalar, and normalizes '
+                   '+ re-centers on device (4x less host-to-device traffic)')
 @click.option('--platforms', default='tpu,cpu',
               help='Comma-separated lowering platforms')
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
               help='Persistent XLA compilation-cache directory, '
                    'also via $MMLF_JAX_CACHE')
 def main(output_dir, artifact, height, width, batch, val_ensamble,
-         val_disp_min, val_disp_max, val_disp_step, members, platforms,
+         val_disp_min, val_disp_max, val_disp_step, members, u8, platforms,
          jax_cache):
     """Export a checkpoint's inference program as a serving artifact."""
     if jax_cache:
@@ -174,7 +204,7 @@ def main(output_dir, artifact, height, width, batch, val_ensamble,
         blob = export_inference(
             output_dir, height, width, val_ensamble=val_ensamble,
             val_disp_min=val_disp_min, val_disp_max=val_disp_max,
-            val_disp_step=val_disp_step, members=members,
+            val_disp_step=val_disp_step, members=members, u8=u8,
             platforms=tuple(p.strip() for p in platforms.split(',')
                             if p.strip()),
             batch=batch)

@@ -29,6 +29,11 @@ Endpoints (JSON; stdlib http.server, zero dependencies):
 Inference is serialized with a lock — the TPU is single-tenant; concurrent
 requests queue instead of wedging the relay.
 
+Low-transfer ingest: artifacts exported with ``mmlf-export --u8`` (or
+checkpoint-dir mode with ``--u8``) ship the RAW uint8 view bytes to the
+device and normalize + apply the ``train_shift`` re-centering there — 4×
+less host→device traffic, which dominates remote-attached (relay) serving.
+
 The server binds loopback by default and has NO authentication; if exposed
 beyond localhost (``--host``), set ``--data_root`` so scene/output paths are
 confined to one directory tree.
@@ -51,7 +56,8 @@ class InferenceEngine:
     """Owns the model (artifact or checkpoint) and runs scenes through it."""
 
     def __init__(self, model_path: str, val_ensamble: bool = False,
-                 train_shift: float = 0.0, data_root: str = ''):
+                 train_shift: float = 0.0, data_root: str = '',
+                 u8: bool = False):
         self.train_shift = float(train_shift)
         self.data_root = (os.path.realpath(data_root) if data_root else '')
         self.lock = threading.Lock()           # serializes TPU calls
@@ -64,15 +70,18 @@ class InferenceEngine:
             from .export import build_inference
             import jax
             fwd, variables, meta = build_inference(
-                model_path, val_ensamble=val_ensamble)
+                model_path, val_ensamble=val_ensamble, u8=u8)
             jfwd = jax.jit(fwd)
-            self._call = lambda *stacks: jfwd(variables, *stacks)
+            self._call = lambda *args: jfwd(variables, *args)
             self.meta = meta
         else:
             from .export import load_exported
             self._call, self.meta = load_exported(model_path)
             self.fixed_shape = (self.meta['height'], self.meta['width'])
             self.fixed_batch = int(self.meta.get('batch', 1))
+        # u8 ingest: raw uint8 stacks + a trailing f32 shift scalar; the
+        # device normalizes and re-centers (export.py build_inference)
+        self.u8 = bool(self.meta.get('u8', False))
         self.views = int(self.meta.get(
             'views', self.meta['config']['model_views']))
 
@@ -86,8 +95,10 @@ class InferenceEngine:
             h = w = int(size)
         else:
             return None
-        z = np.zeros((self.fixed_batch or 1, self.views, h, w, 3), np.float32)
-        out = self._call(z, z, z, z)
+        z = np.zeros((self.fixed_batch or 1, self.views, h, w, 3),
+                     np.uint8 if self.u8 else np.float32)
+        args = (z, z, z, z) + ((np.float32(0.0),) if self.u8 else ())
+        out = self._call(*args)
         np.asarray(out['mean'])
         return h, w
 
@@ -125,8 +136,14 @@ class InferenceEngine:
         for sd in scene_dirs:
             self._check_root(sd, 'scene_dir')
             # the 23×23 texture mask is never consumed here — skip its cost
-            sample = load_scene(sd, nviews=nviews, texture_mask=False)
-            if shift != 0.0:
+            sample = load_scene(sd, nviews=nviews, texture_mask=False,
+                                raw_views=self.u8)
+            if self.u8:
+                # stacks stay uint8 (device shifts them); GT is corrected
+                # here so the metrics see the same re-centered frame
+                sample = sample[:5] + (sample[5] - np.float32(shift),) \
+                    + sample[6:]
+            elif shift != 0.0:
                 sample = T.Shift(shift)(sample)
             samples.append(sample)
 
@@ -153,9 +170,12 @@ class InferenceEngine:
                 arr = np.concatenate([arr, pad])
             return arr
 
+        args = [batch_stack(j) for j in range(4)]
+        if self.u8:
+            args.append(np.float32(shift))
         t0 = time.time()
         with self.lock:
-            out = self._call(*(batch_stack(j) for j in range(4)))
+            out = self._call(*args)
             mean = np.asarray(out['mean'])[:n]
         runtime = time.time() - t0
         logvar = out.get('logvar')
@@ -263,6 +283,10 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
 @click.option('--port', default=8417)
 @click.option('--val_ensamble', is_flag=True,
               help='Checkpoint-dir mode: serve the shift ensemble')
+@click.option('--u8', is_flag=True,
+              help='Checkpoint-dir mode: low-transfer ingest — ship raw '
+                   'uint8 views and normalize + re-center on device '
+                   '(artifacts carry this in their meta instead)')
 @click.option('--train_shift', default=0.0, type=float,
               help='Default static re-centering shift applied to scenes')
 @click.option('--data_root', default='', type=click.Path(),
@@ -276,14 +300,15 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
               help='Skip the startup compile')
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
               help='Persistent XLA compilation-cache directory')
-def main(model, host, port, val_ensamble, train_shift, data_root,
+def main(model, host, port, val_ensamble, u8, train_shift, data_root,
          warmup_size, no_warmup, jax_cache):
     """Serve depth inference from an export artifact or checkpoint dir."""
     if jax_cache:
         from .utils.jaxcache import enable_compilation_cache
         enable_compilation_cache(jax_cache)
     engine = InferenceEngine(model, val_ensamble=val_ensamble,
-                             train_shift=train_shift, data_root=data_root)
+                             train_shift=train_shift, data_root=data_root,
+                             u8=u8)
     if not no_warmup:
         shape = engine.warmup(warmup_size)
         if shape:

@@ -23,6 +23,20 @@ def load_img(path: str) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+def load_img_u8(path: str) -> np.ndarray:
+    """Load an 8-bit image WITHOUT normalizing — raw uint8 (H, W, C)/(H, W).
+
+    The u8 serving ingest path (export.py ``u8=True``) ships these bytes to
+    the device and normalizes there, quartering the host→device transfer.
+    """
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.dtype != np.uint8:
+        raise ValueError(f'{path}: u8 ingest needs 8-bit views, '
+                         f'got {arr.dtype}')
+    return arr
+
+
 def save_img(path: str, arr) -> None:
     """Save an array as an 8-bit image, normalizing if out of [0, 1].
 

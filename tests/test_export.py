@@ -79,6 +79,33 @@ def test_export_ensemble(ckpt):
                                   np.asarray(ref['mean']))
 
 
+def test_export_u8_matches_host_path(ckpt):
+    """u8 ingest (uint8 stacks + on-device /255 + shift) equals the fp32
+    artifact fed host-normalized, host-shifted views."""
+    from mmlf_tpu.data.transforms import np_shift_lf
+
+    rng = np.random.RandomState(3)
+    u8_stacks = [rng.randint(0, 256, (9, 64, 64, 3), dtype=np.uint8)
+                 for _ in range(4)]
+    shift = 0.75
+
+    fn_u8, meta = load_exported(
+        export_inference(ckpt, 64, 64, platforms=('cpu',), u8=True))
+    assert meta['u8'] is True
+    out_u8 = fn_u8(*(s[None] for s in u8_stacks), np.float32(shift))
+
+    f32 = [s.astype(np.float32) / 255.0 for s in u8_stacks]
+    fn_f32, _ = load_exported(
+        export_inference(ckpt, 64, 64, platforms=('cpu',)))
+    out_f32 = fn_f32(*(s[None] for s in np_shift_lf(*f32, shift)))
+
+    assert sorted(out_u8) == sorted(out_f32)
+    for k in out_f32:
+        np.testing.assert_allclose(np.asarray(out_u8[k]),
+                                   np.asarray(out_f32[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_export_inn(tmp_path):
     """A trained --model_inn checkpoint exports and round-trips too."""
     data = str(tmp_path / 'data')

@@ -163,6 +163,34 @@ def test_artifact_mode_shape_guard(env, tmp_path):
         engine32.infer(scene)
 
 
+def test_u8_ingest_matches_fp32(env, tmp_path):
+    """u8 artifacts (uint8 views + on-device normalize/shift) reproduce the
+    fp32 path's metrics; checkpoint-dir --u8 mode agrees too."""
+    root, ckpt, scene = env
+    from mmlf_tpu.export import export_inference
+    path = str(tmp_path / 'u8.mmlf')
+    with open(path, 'wb') as f:
+        f.write(export_inference(ckpt, 64, 64, platforms=('cpu',), u8=True))
+
+    ref = InferenceEngine(ckpt).infer(scene, train_shift=1.5)
+
+    eng = InferenceEngine(path)
+    assert eng.u8 and eng.warmup() == (64, 64)
+    out = str(tmp_path / 'out_u8')
+    got = eng.infer(scene, out_dir=out, train_shift=1.5)
+    # PNG-decoded views are exactly uint8/255 on both paths; the only
+    # deltas are fp reassociation inside the two compiled programs
+    np.testing.assert_allclose(got['mse'], ref['mse'], rtol=1e-4)
+    np.testing.assert_allclose(got['badpix_007'], ref['badpix_007'],
+                               atol=1e-6)
+    assert os.path.exists(os.path.join(out, 'result.pfm'))
+
+    ck = InferenceEngine(ckpt, u8=True)
+    assert ck.u8
+    got_ck = ck.infer(scene, train_shift=1.5)
+    np.testing.assert_allclose(got_ck['mse'], ref['mse'], rtol=1e-4)
+
+
 def test_train_shift_applied(env):
     """A nonzero shift re-centers the stacks — output must change."""
     root, ckpt, scene = env
