@@ -93,6 +93,11 @@ class Config:
     # (seed-dependent: a badly-initialized logvar head can blow up the
     # exp(-logvar) term and drag training into a high-uncertainty optimum
     # where the mean head never learns — see docs/STATUS.md seed-variance)
+    train_term_checkpoint: bool = True  # on SIGTERM (pod preemption,
+    # scheduler eviction) finish the in-flight step, write the rolling
+    # checkpoint at the CURRENT iteration, and return cleanly — the run
+    # continues with --train_resume.  The reference dies un-checkpointed
+    # (its only recovery is the last val-interval save)
     model_inn: bool = False      # WORKING invertible network (models/inn.py;
     # the reference's --model_invertible path is dead upstream and fails
     # identically here — this flag is the beyond-reference replacement)

@@ -82,6 +82,10 @@ from .loop import train
                    'steps (step 0 trains plain L1, reference loss by step '
                    'N); stabilizes the seed-dependent logvar collapse of '
                    'the UPR recipe. 0 = reference-exact')
+@click.option('--train_term_checkpoint/--no_train_term_checkpoint',
+              default=True,
+              help='[TPU] on SIGTERM (preemption) checkpoint the current '
+                   'step and exit cleanly; resume with --train_resume')
 @click.option('--model_inn', is_flag=True,
               help='[TPU] WORKING invertible network (the reference\'s '
                    '--model_invertible is dead upstream and fails '

@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import collections
 import os
+import signal
 import sys
+import threading
 import time
 
 from typing import Any
@@ -458,6 +460,22 @@ def train(cfg: Config, output_dir: str,
             print(line)
         print(line, file=log, flush=True)
 
+    # graceful preemption (TPU-native extension; SURVEY §5 "failure
+    # detection / elastic recovery": the reference has none): on SIGTERM —
+    # pod preemption, scheduler eviction — finish the in-flight step,
+    # checkpoint at the CURRENT iteration and return cleanly, so
+    # --train_resume loses at most one step instead of everything since
+    # the last val-interval save.  Handlers only install on the main
+    # thread (a CPython requirement); the previous handler is restored on
+    # exit so nested callers keep their semantics.
+    term_event = None
+    prev_term = None
+    if cfg.train_term_checkpoint and \
+            threading.current_thread() is threading.main_thread():
+        term_event = threading.Event()
+        prev_term = signal.signal(signal.SIGTERM,
+                                  lambda _s, _f: term_event.set())
+
     try:
         while True:
             batch = pipeline.sample_batch(cfg.train_bs)
@@ -550,6 +568,19 @@ def train(cfg: Config, output_dir: str,
                 emit_row(pending.popleft())
 
             i += 1
+            if term_event is not None and term_event.is_set():
+                while pending:
+                    emit_row(pending.popleft())
+                tree = {'params': state.params,
+                        'batch_stats': state.batch_stats,
+                        'opt_state': state.opt_state}
+                epoch = i // max(1, len(trainset) // cfg.train_bs)
+                model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
+                            loss_val_avg)
+                print(f'SIGTERM: checkpoint written at step {i}; exiting '
+                      f'cleanly (continue with --train_resume)',
+                      file=sys.stderr)
+                break
             if cfg.train_steps and i >= cfg.train_steps:
                 break
         while pending:
@@ -588,6 +619,12 @@ def train(cfg: Config, output_dir: str,
             print(f'checkpoint writer failed during shutdown: {exc!r}',
                   file=sys.stderr)
         finally:
+            if term_event is not None:
+                # prev is None when the handler was installed outside
+                # Python — SIG_DFL is the closest restorable state
+                signal.signal(signal.SIGTERM,
+                              prev_term if prev_term is not None
+                              else signal.SIG_DFL)
             log.close()
             pipeline.close()
     return state

@@ -133,6 +133,57 @@ def test_resume_restores_step_and_params(data_dirs, tmp_path):
     assert iters == [0, 1, 2, 2, 3, 4]   # step-3 run + resumed 2..4
 
 
+def test_sigterm_checkpoints_and_resumes(data_dirs, tmp_path):
+    """Graceful preemption: SIGTERM mid-run finishes the in-flight step,
+    writes the rolling checkpoint at the current iteration and returns
+    cleanly; --train_resume continues from there."""
+    import signal
+    import threading
+    from mmlf_tpu.train.checkpoint import load_checkpoint_raw
+
+    out = str(tmp_path / 'term')
+    os.makedirs(out)
+    # val_interval high enough that only step 0's val checkpoint exists —
+    # the SIGTERM save must advance past it
+    cfg = _cfg(data_dirs, train_steps=100000, val_interval=1000000)
+
+    import time as _time
+    stop = threading.Event()
+
+    def fire():
+        # wait until train() has installed its handler (startup/compile can
+        # take many seconds), give it a moment to run a few steps, then
+        # deliver the signal
+        deadline = _time.time() + 120
+        while (_time.time() < deadline and not stop.is_set()
+               and signal.getsignal(signal.SIGTERM) is signal.SIG_DFL):
+            _time.sleep(0.05)
+        if stop.is_set():
+            return
+        _time.sleep(1.0)
+        signal.raise_signal(signal.SIGTERM)
+
+    t = threading.Thread(target=fire)
+    t.start()
+    try:
+        state = train(cfg, out, progress=False)
+    finally:
+        stop.set()
+        t.join()
+
+    _, meta, _ = load_checkpoint_raw(out)
+    n = int(meta['iteration'])
+    assert 1 <= n < 100000
+    assert int(state.step) == n
+    # the handler was restored
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    cfg2 = _cfg(data_dirs, train_steps=n + 2, train_resume=True,
+                val_interval=1000000)
+    state2 = train(cfg2, out, progress=False)
+    assert int(state2.step) == n + 2
+
+
 def test_checkpoint_template_roundtrip(tmp_path):
     """save → load_checkpoint restores tuple-typed optimizer state into
     the template's types (the raw msgpack tree alone turns tuples into
