@@ -79,6 +79,13 @@ class InferenceEngine:
             self._call, self.meta = load_exported(model_path)
             self.fixed_shape = (self.meta['height'], self.meta['width'])
             self.fixed_batch = int(self.meta.get('batch', 1))
+            if u8 and not self.meta.get('u8', False):
+                # --u8 cannot retrofit a compiled fp32 artifact; failing
+                # loudly beats silently serving at fp32 transfer cost
+                raise ValueError(
+                    'artifact was not exported with --u8; re-export with '
+                    'mmlf-export --u8 (artifacts carry the ingest mode '
+                    'in their meta)')
         # u8 ingest: raw uint8 stacks + a trailing f32 shift scalar; the
         # device normalizes and re-centers (export.py build_inference)
         self.u8 = bool(self.meta.get('u8', False))
@@ -139,10 +146,13 @@ class InferenceEngine:
             sample = load_scene(sd, nviews=nviews, texture_mask=False,
                                 raw_views=self.u8)
             if self.u8:
-                # stacks stay uint8 (device shifts them); GT is corrected
-                # here so the metrics see the same re-centered frame
-                sample = sample[:5] + (sample[5] - np.float32(shift),) \
-                    + sample[6:]
+                # stacks stay uint8 (device shifts them); GT and the MPI
+                # disparity channel are corrected here so the sample obeys
+                # the same re-centered contract as T.Shift (ops/shift.py)
+                mpi = sample[6].copy()
+                mpi[..., 4] -= np.float32(shift)
+                sample = sample[:5] + (sample[5] - np.float32(shift),
+                                       mpi) + sample[7:]
             elif shift != 0.0:
                 sample = T.Shift(shift)(sample)
             samples.append(sample)

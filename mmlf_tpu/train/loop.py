@@ -468,6 +468,19 @@ def train(cfg: Config, output_dir: str,
     # the last val-interval save.  Handlers only install on the main
     # thread (a CPython requirement); the previous handler is restored on
     # exit so nested callers keep their semantics.
+    def save_rolling_checkpoint():
+        """Rolling checkpoint at the loop's CURRENT (state, i) — shared by
+        the val-interval save and the SIGTERM save so the payload can
+        never diverge between the two paths."""
+        tree = {'params': state.params,
+                'batch_stats': state.batch_stats,
+                'opt_state': state.opt_state}
+        # real pass counter over the virtual-length dataset (the
+        # reference stores epoch=None here, train/cli.py:328)
+        epoch = i // max(1, len(trainset) // cfg.train_bs)
+        model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
+                    loss_val_avg)
+
     term_event = None
     prev_term = None
     if cfg.train_term_checkpoint and \
@@ -545,14 +558,7 @@ def train(cfg: Config, output_dir: str,
                 mse_avg /= n_scenes
                 bad_pix_avg /= n_scenes
 
-                tree = {'params': state.params,
-                        'batch_stats': state.batch_stats,
-                        'opt_state': state.opt_state}
-                # real pass counter over the virtual-length dataset (the
-                # reference stores epoch=None here, train/cli.py:328)
-                epoch = i // max(1, len(trainset) // cfg.train_bs)
-                model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
-                            loss_val_avg)
+                save_rolling_checkpoint()
 
                 # exclude the validation wall time from the next row's
                 # clock — but keep the very first row's absolute-unix-time
@@ -571,12 +577,7 @@ def train(cfg: Config, output_dir: str,
             if term_event is not None and term_event.is_set():
                 while pending:
                     emit_row(pending.popleft())
-                tree = {'params': state.params,
-                        'batch_stats': state.batch_stats,
-                        'opt_state': state.opt_state}
-                epoch = i // max(1, len(trainset) // cfg.train_bs)
-                model_saver(output_dir, tree, cfg.to_dict(), epoch, i,
-                            loss_val_avg)
+                save_rolling_checkpoint()
                 print(f'SIGTERM: checkpoint written at step {i}; exiting '
                       f'cleanly (continue with --train_resume)',
                       file=sys.stderr)

@@ -11,6 +11,7 @@ shipping the four view stacks; fp32 ships 4 x H x W x views x 3 x 4 B
 normalizes + re-centers on device (export.py build_inference u8=True).
 
 Usage: python scripts/serve_u8_probe.py [CKPT_DIR] [SCENE_DIR] [N_CALLS]
+                                        [TRAIN_SHIFT]
 """
 
 import json
@@ -28,6 +29,7 @@ def main():
     scene = sys.argv[2] if len(sys.argv) > 2 else \
         '/tmp/parity/data/val/scene_00'
     n_calls = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    shift = float(sys.argv[4]) if len(sys.argv) > 4 else 2.5
 
     from mmlf_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache('/tmp/mmlf_jax_cache')
@@ -61,7 +63,7 @@ def main():
         resp = None
         for _ in range(n_calls):
             t0 = time.time()
-            resp = eng.infer(scene, train_shift=2.5)
+            resp = eng.infer(scene, train_shift=shift)
             walls.append(time.time() - t0)
             devs.append(resp['runtime_s'])
         results[mode] = {

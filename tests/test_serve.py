@@ -190,6 +190,14 @@ def test_u8_ingest_matches_fp32(env, tmp_path):
     got_ck = ck.infer(scene, train_shift=1.5)
     np.testing.assert_allclose(got_ck['mse'], ref['mse'], rtol=1e-4)
 
+    # --u8 cannot retrofit an fp32 artifact — must fail loudly, not serve
+    # silently at fp32 transfer cost
+    fp32_path = str(tmp_path / 'fp32.mmlf')
+    with open(fp32_path, 'wb') as f:
+        f.write(export_inference(ckpt, 64, 64, platforms=('cpu',)))
+    with pytest.raises(ValueError, match='not exported with --u8'):
+        InferenceEngine(fp32_path, u8=True)
+
 
 def test_train_shift_applied(env):
     """A nonzero shift re-centers the stacks — output must change."""

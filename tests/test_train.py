@@ -161,6 +161,11 @@ def test_sigterm_checkpoints_and_resumes(data_dirs, tmp_path):
         if stop.is_set():
             return
         _time.sleep(1.0)
+        # train() may have raised meanwhile and restored SIG_DFL — raising
+        # then would kill the pytest process instead of reporting
+        if stop.is_set() or \
+                signal.getsignal(signal.SIGTERM) is signal.SIG_DFL:
+            return
         signal.raise_signal(signal.SIGTERM)
 
     t = threading.Thread(target=fire)
