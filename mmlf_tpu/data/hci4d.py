@@ -74,26 +74,44 @@ def _pick_gt_pfm(scene: str, nviews) -> Optional[str]:
 
 
 def load_scene(scene: str, nviews=(9, 9), index: int = 0,
-               texture_mask: bool = True, raw_views: bool = False):
+               texture_mask: bool = True, raw_views: bool = False,
+               threads: int = 0):
     """Load one scene directory into the 9-tuple sample.
 
     ``raw_views=True`` keeps the four view stacks as raw uint8 (the u8
     serving ingest — normalization happens on device); every other field
     (center, gt, mpi, mask) stays float32 as usual.
+
+    ``threads > 0`` decodes the views on a thread pool (PIL releases the
+    GIL during PNG decode).  Opt-in: serving uses it; the training cache
+    path keeps its own higher-level parallelism and stays serial here.
     """
     imgs = _list_view_files(scene)
     hs, vs, inc, dec = cross_indices(nviews)
 
     if raw_views:
         from ..utils.imgio import load_img_u8
+        load_one = load_img_u8
+    else:
+        load_one = load_img
+
+    if threads > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        # decode every needed view ONCE (the four cross stacks share the
+        # center view and the center row/column overlaps)
+        needed = sorted({i for idx in (hs, vs, inc, dec) for i in idx})
+        with ThreadPoolExecutor(threads) as pool:
+            decoded = dict(zip(needed, pool.map(
+                lambda i: load_one(os.path.join(scene, imgs[i])), needed)))
 
         def stack(idx: Sequence[int]) -> np.ndarray:
-            return np.stack([load_img_u8(os.path.join(scene, imgs[i]))
-                             [..., :3] for i in idx])
+            out = np.stack([decoded[i][..., :3] for i in idx])
+            return out if raw_views else out.astype(np.float32)
     else:
         def stack(idx: Sequence[int]) -> np.ndarray:
-            return np.stack([load_img(os.path.join(scene, imgs[i]))[..., :3]
-                             for i in idx]).astype(np.float32)
+            out = np.stack([load_one(os.path.join(scene, imgs[i]))[..., :3]
+                            for i in idx])
+            return out if raw_views else out.astype(np.float32)
 
     h_views = stack(hs)
     v_views = stack(vs)

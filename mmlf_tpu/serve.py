@@ -57,8 +57,9 @@ class InferenceEngine:
 
     def __init__(self, model_path: str, val_ensamble: bool = False,
                  train_shift: float = 0.0, data_root: str = '',
-                 u8: bool = False):
+                 u8: bool = False, decode_threads: int = 8):
         self.train_shift = float(train_shift)
+        self.decode_threads = int(decode_threads)
         self.data_root = (os.path.realpath(data_root) if data_root else '')
         self.lock = threading.Lock()           # serializes TPU calls
         self.stats_lock = threading.Lock()     # guards the counters
@@ -144,7 +145,8 @@ class InferenceEngine:
             self._check_root(sd, 'scene_dir')
             # the 23×23 texture mask is never consumed here — skip its cost
             sample = load_scene(sd, nviews=nviews, texture_mask=False,
-                                raw_views=self.u8)
+                                raw_views=self.u8,
+                                threads=self.decode_threads)
             if self.u8:
                 # stacks stay uint8 (device shifts them); GT and the MPI
                 # disparity channel are corrected here so the sample obeys
@@ -299,6 +301,9 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
                    '(artifacts carry this in their meta instead)')
 @click.option('--train_shift', default=0.0, type=float,
               help='Default static re-centering shift applied to scenes')
+@click.option('--decode_threads', default=8,
+              help='Thread-pool size for the per-scene PNG view decode '
+                   '(PIL releases the GIL; 0 = serial)')
 @click.option('--data_root', default='', type=click.Path(),
               help='Confine scene_dir/out_dir paths to this directory tree '
                    '(set this whenever --host is not loopback; the API has '
@@ -310,15 +315,15 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
               help='Skip the startup compile')
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
               help='Persistent XLA compilation-cache directory')
-def main(model, host, port, val_ensamble, u8, train_shift, data_root,
-         warmup_size, no_warmup, jax_cache):
+def main(model, host, port, val_ensamble, u8, train_shift, decode_threads,
+         data_root, warmup_size, no_warmup, jax_cache):
     """Serve depth inference from an export artifact or checkpoint dir."""
     if jax_cache:
         from .utils.jaxcache import enable_compilation_cache
         enable_compilation_cache(jax_cache)
     engine = InferenceEngine(model, val_ensamble=val_ensamble,
                              train_shift=train_shift, data_root=data_root,
-                             u8=u8)
+                             u8=u8, decode_threads=decode_threads)
     if not no_warmup:
         shape = engine.warmup(warmup_size)
         if shape:

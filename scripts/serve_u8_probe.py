@@ -53,10 +53,11 @@ def main():
         print(f'[{mode}] warmup (compile) {time.time() - t0:.1f}s',
               flush=True)
 
-        # host scene load alone (decode + stack assembly)
+        # host scene load alone (decode + stack assembly, engine settings)
         t0 = time.time()
         from mmlf_tpu.data.hci4d import load_scene
-        load_scene(scene, texture_mask=False, raw_views=u8)
+        load_scene(scene, texture_mask=False, raw_views=u8,
+                   threads=eng.decode_threads)
         t_load = time.time() - t0
 
         walls, devs = [], []

@@ -30,6 +30,27 @@ def test_loader_shapes(dataset_dir):
     assert index[0] == 0
 
 
+def test_load_scene_threads_and_raw_views(dataset_dir):
+    """Threaded decode and u8 raw-view loading are exact: threads only
+    parallelize, raw uint8 stacks are the pre-normalization bytes."""
+    import os
+    from mmlf_tpu.data.hci4d import load_scene
+    scene = os.path.join(dataset_dir, sorted(os.listdir(dataset_dir))[0])
+
+    serial = load_scene(scene)
+    threaded = load_scene(scene, threads=4)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
+
+    raw = load_scene(scene, raw_views=True, threads=4)
+    assert raw[0].dtype == np.uint8
+    for j in range(4):
+        np.testing.assert_allclose(raw[j].astype(np.float32) / 255.0,
+                                   serial[j], atol=1e-7)
+    np.testing.assert_allclose(raw[4], serial[4], atol=1e-7)  # center
+    np.testing.assert_array_equal(raw[5], serial[5])          # gt
+
+
 def test_center_is_center_view(dataset_dir):
     ds = HCI4D(dataset_dir)
     h, v, i, d, center, *_ = ds[0]
