@@ -106,6 +106,32 @@ def test_export_u8_matches_host_path(ckpt):
                                    rtol=1e-5, atol=1e-5, err_msg=k)
 
 
+def test_export_u8_ensemble_matches_fp32(ckpt):
+    """The u8 ingest composes with the shift ensemble: uint8 + on-device
+    normalize/re-center + member scan equals the fp32 ensemble artifact."""
+    from mmlf_tpu.data.transforms import np_shift_lf
+
+    rng = np.random.RandomState(7)
+    u8s = [rng.randint(0, 256, (9, 32, 32, 3), dtype=np.uint8)
+           for _ in range(4)]
+    shift = 1.25
+
+    fn_u8, meta = load_exported(
+        export_inference(ckpt, 32, 32, platforms=('cpu',), u8=True,
+                         val_ensamble=True, val_disp_step=1.0))
+    assert meta['u8'] and meta['val_ensamble']
+    o_u8 = fn_u8(*(s[None] for s in u8s), np.float32(shift))
+
+    f32 = [s.astype(np.float32) / 255.0 for s in u8s]
+    fn_f, _ = load_exported(
+        export_inference(ckpt, 32, 32, platforms=('cpu',),
+                         val_ensamble=True, val_disp_step=1.0))
+    o_f = fn_f(*(s[None] for s in np_shift_lf(*f32, shift)))
+    for k in o_f:
+        np.testing.assert_allclose(np.asarray(o_u8[k]), np.asarray(o_f[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_export_inn(tmp_path):
     """A trained --model_inn checkpoint exports and round-trips too."""
     data = str(tmp_path / 'data')
