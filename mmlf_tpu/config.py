@@ -88,11 +88,15 @@ class Config:
     train_logvar_warmup: int = 0  # ramp the uncertainty (logvar) coupling
     # over N steps: the training loss sees logvar*min(step/N, 1), so at
     # step 0 the UPR loss is EXACTLY masked L1 and reaches the reference
-    # loss by step N.  0 (default) = reference-exact.  Stabilizer for the
-    # aleatoric-uncertainty collapse the reference recipe is prone to
+    # loss by step N.  0 (default) = reference-exact.  A RESCUE lever for
+    # the aleatoric-uncertainty collapse the reference recipe is prone to
     # (seed-dependent: a badly-initialized logvar head can blow up the
     # exp(-logvar) term and drag training into a high-uncertainty optimum
-    # where the mean head never learns — see docs/STATUS.md seed-variance)
+    # where the mean head never learns).  It reliably repairs the mean
+    # head, but logvar CALIBRATION — what ESE min-logvar selection needs —
+    # stays run-fragile with or without it (one healthy arm's ESE went
+    # 2.7 → 80.8 MSE×100 under warmup); validate ESE per checkpoint.
+    # See docs/STATUS.md seed-variance + seed-0 completion.
     train_term_checkpoint: bool = True  # on SIGTERM (pod preemption,
     # scheduler eviction) finish the in-flight step, write the rolling
     # checkpoint at the CURRENT iteration, and return cleanly — the run

@@ -80,8 +80,11 @@ from .loop import train
 @click.option('--train_logvar_warmup', default=0,
               help='[TPU] ramp the uncertainty-loss logvar coupling over N '
                    'steps (step 0 trains plain L1, reference loss by step '
-                   'N); stabilizes the seed-dependent logvar collapse of '
-                   'the UPR recipe. 0 = reference-exact')
+                   'N); a rescue lever for the seed-dependent logvar '
+                   'collapse of the UPR recipe — repairs the mean head, '
+                   'but logvar calibration (ESE selection) stays '
+                   'run-fragile either way: validate ESE per checkpoint. '
+                   '0 = reference-exact')
 @click.option('--train_term_checkpoint/--no_train_term_checkpoint',
               default=True,
               help='[TPU] on SIGTERM (preemption) checkpoint the current '
