@@ -10,6 +10,13 @@ import sys
 
 SNIPPET = """
 import sys
+# force CPU at CONFIG level: the env sitecustomize's
+# jax.config.update('jax_platforms', 'axon,cpu') OUTRANKS the
+# JAX_PLATFORMS env var, so without this the subprocess touches the TPU
+# relay — and hangs whenever another process (or a lingering claim)
+# holds the single-tenant chip
+import jax
+jax.config.update('jax_platforms', 'cpu')
 from mmlf_tpu.utils.jaxcache import enable_compilation_cache
 path = enable_compilation_cache(sys.argv[1] if len(sys.argv) > 1 else None)
 print('CACHE_AT', path)
