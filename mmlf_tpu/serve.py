@@ -72,6 +72,9 @@ class InferenceEngine:
             import jax
             fwd, variables, meta = build_inference(
                 model_path, val_ensamble=val_ensamble, u8=u8)
+            # pin the weights in HBM: numpy args to a jitted fn are
+            # re-transferred EVERY call (~18 MB/request through the relay)
+            variables = jax.device_put(variables)
             jfwd = jax.jit(fwd)
             self._call = lambda *args: jfwd(variables, *args)
             self.meta = meta

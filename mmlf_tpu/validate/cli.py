@@ -314,6 +314,12 @@ def run_validation(output_dir, dataset, model_discrete=False,
         mesh_ens = make_mesh(n_data=mesh_ensemble)
         variables = jax.device_put(variables, replicated(mesh_ens))
 
+    if mesh_ens is None and mesh_space <= 1:
+        # pin the weights in HBM once — numpy args to a jitted fn are
+        # re-transferred on every per-scene call otherwise (the mesh
+        # branches device_put with their own shardings above/below)
+        variables = jax.device_put(variables)
+
     n_bins = 108
     scene_eval = make_scene_eval(model, cfg, kwargs, val_ensamble,
                                  val_disp_min, val_disp_max, val_disp_step,
