@@ -155,6 +155,19 @@ def test_export_inn(tmp_path):
     np.testing.assert_array_equal(np.asarray(o['mean']),
                                   np.asarray(ref['mean']))
 
+    # the u8 ingest wrapper composes with the INN program too
+    fn_u8, meta_u8 = load_exported(export_inference(
+        out, 32, 32, platforms=('cpu',), u8=True))
+    assert meta_u8['u8']
+    rng = np.random.RandomState(5)
+    u8s = [rng.randint(0, 256, (1, 9, 32, 32, 3), dtype=np.uint8)
+           for _ in range(4)]
+    o_u8 = fn_u8(*u8s, np.float32(0.0))
+    ref_u8 = fn(*(s.astype(np.float32) / 255.0 for s in u8s))
+    np.testing.assert_allclose(np.asarray(o_u8['mean']),
+                               np.asarray(ref_u8['mean']),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_inn_ensemble_rejected_as_value_error(tmp_path):
     """Library callers (serve engine) get ValueError, not a click type."""
