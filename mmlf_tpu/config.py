@@ -97,6 +97,14 @@ class Config:
     # stays run-fragile with or without it (one healthy arm's ESE went
     # 2.7 → 80.8 MSE×100 under warmup); validate ESE per checkpoint.
     # See docs/STATUS.md seed-variance + seed-0 completion.
+    train_logvar_anchor: float = 0.0  # weight of the logvar calibration
+    # anchor (losses.logvar_anchor): quadratic pull of logvar toward the
+    # DETACHED per-pixel log|error|.  Targets the loss's own pointwise
+    # optimum (exp(logvar) = |err|) but makes it non-tradeable, so the
+    # uncertainty head can neither collapse (exp(-logvar) killing the data
+    # term) nor miscalibrate into a function of the input shift — the two
+    # failure modes that break ESE min-logvar selection (docs/STATUS.md).
+    # 0 (default) = reference-exact dynamics.
     train_term_checkpoint: bool = True  # on SIGTERM (pod preemption,
     # scheduler eviction) finish the in-flight step, write the rolling
     # checkpoint at the CURRENT iteration, and return cleanly — the run

@@ -94,6 +94,44 @@ def multi_uncertainty_mse(output, mpi, mask):
     raise NotImplementedError()  # parity: reference loss.py:225
 
 
+def logvar_anchor(output, target, mpi, mask, mask_padding=None,
+                  multimodal=False, eps: float = 1e-6):
+    """Calibration anchor for the uncertainty head (TPU extension, no
+    reference counterpart; ``--train_logvar_anchor``).
+
+    Quadratic pull of ``logvar`` toward ``log|err|`` with the error
+    DETACHED: ``(logvar - stop_grad(log max(|mean - gt|, eps)))^2`` on
+    in-range masked pixels.  ``exp(logvar) = |err|`` is already the
+    pointwise optimum of the heteroscedastic L1 (d/dlogvar of
+    ``exp(-logvar)|err| + logvar`` vanishes there), so the anchor adds no
+    bias at the optimum — it only makes that optimum NON-TRADEABLE: the
+    logvar head can neither run away (the collapse mode, where
+    ``exp(-logvar)`` kills the data term) nor drift into a function of the
+    input shift instead of its own error (the miscalibration mode that
+    broke ESE min-logvar selection — docs/STATUS.md seed-0 completion).
+    The stop_gradient keeps the mean head's own objective untouched.
+
+    For the multimodal loss the per-pixel error is the alpha-weighted
+    plane distance ``sum(w_k |mean - d_k|) / max(sum w_k, eps)``, and
+    pixels with no supported plane (``sum w_k < 0.01``) are excluded —
+    mirroring the main loss's in-range/out-of-range split.
+    """
+    logvar = output['logvar']
+    if multimodal:
+        weights = mpi[..., 3]
+        dists = jnp.abs(output['mean'][:, None] - mpi[..., 4])
+        wsum = jnp.sum(weights, axis=1)
+        err = jnp.sum(dists * weights, axis=1) / jnp.maximum(wsum, eps)
+        in_range = (wsum >= 0.01).astype(jnp.float32)
+    else:
+        err = jnp.abs(output['mean'] - target)
+        in_range = (mask_padding.astype(jnp.float32)
+                    if mask_padding is not None else 1.0)
+    target_lv = jax.lax.stop_gradient(jnp.log(jnp.maximum(err, eps)))
+    sq = (logvar - target_lv) ** 2.0
+    return _masked_mean(sq, mask.astype(jnp.float32) * in_range)
+
+
 def uncertainty_l1(output, target, mask):
     """Heteroscedastic L1 (reference UncertaintyL1Loss :228-251)."""
     loss = jnp.exp(-output['logvar']) * jnp.abs(output['mean'] - target)

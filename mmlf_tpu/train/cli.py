@@ -85,6 +85,14 @@ from .loop import train
                    'but logvar calibration (ESE selection) stays '
                    'run-fragile either way: validate ESE per checkpoint. '
                    '0 = reference-exact')
+@click.option('--train_logvar_anchor', default=0.0, type=float,
+              help='[TPU] weight of the logvar calibration anchor: '
+                   'quadratic pull of logvar toward the detached per-pixel '
+                   'log|error| (the heteroscedastic loss\'s own pointwise '
+                   'optimum, made non-tradeable).  Prevents both the '
+                   'logvar collapse and the shift-tracking miscalibration '
+                   'that break ESE min-logvar selection. 0 = '
+                   'reference-exact')
 @click.option('--train_term_checkpoint/--no_train_term_checkpoint',
               default=True,
               help='[TPU] on SIGTERM (preemption) checkpoint the current '

@@ -88,6 +88,14 @@ def compute_loss(cfg: Config, output, gt, mpi, gt_classes, mask,
     where a badly-initialized logvar head blows up ``exp(-logvar)`` and
     training settles in a high-uncertainty optimum (docs/STATUS.md).
     """
+    anchor = 0.0
+    if cfg.model_uncert and cfg.train_logvar_anchor > 0:
+        # calibration anchor on the TRUE logvar (before any warmup
+        # scaling): the head being calibrated is the one ESE selects on
+        from ..losses import logvar_anchor
+        anchor = cfg.train_logvar_anchor * logvar_anchor(
+            output, gt, mpi, mask, mask_padding,
+            multimodal=cfg.train_loss_multimodal)
     if (cfg.model_uncert and cfg.train_logvar_warmup > 0
             and step is not None):
         w = jnp.minimum(step.astype(jnp.float32)
@@ -99,9 +107,10 @@ def compute_loss(cfg: Config, output, gt, mpi, gt_classes, mask,
         return information_bottleneck(output, gt_classes, cfg.train_beta)
     if cfg.model_uncert:
         if cfg.train_loss_multimodal:
-            return improved_multi_uncertainty_l1(output, mpi, mask,
-                                                 mask_padding)
-        return improved_uncertainty_l1(output, gt, mask, mask_padding)
+            return anchor + improved_multi_uncertainty_l1(output, mpi, mask,
+                                                          mask_padding)
+        return anchor + improved_uncertainty_l1(output, gt, mask,
+                                                mask_padding)
     if cfg.model_discrete:
         return masked_cross_entropy(output, gt_classes, mask)
     if cfg.model_invertible:

@@ -1,0 +1,45 @@
+#!/bin/bash
+# One (head, width, seed) cell for the accuracy-parity error-bar table
+# (VERDICT r3 item 2): train BASE or DPP with the identical README recipe
+# as scripts/parity_runs.sh / chs64_parity_run.sh and validate.  Usage:
+#   CELL_HEAD=base|dpp CELL_CHS=64|70 CELL_SEED=N bash scripts/cell_seed_run.sh
+set -euo pipefail
+
+ROOT=${PARITY_ROOT:-/tmp/parity}
+STEPS=${PARITY_STEPS:-2000}
+HEAD=${CELL_HEAD:?}
+CHS=${CELL_CHS:?}
+SEED=${CELL_SEED:?}
+DATA=$ROOT/data
+
+name=${HEAD}${CHS}_s${SEED}
+out=$ROOT/$name
+
+RECIPE="--train_trainset=$DATA/train --train_valset=$DATA/val
+        --train_shift=2.5 --train_lr=1e-3 --train_bs=512 --train_accum=8
+        --train_ps=96 --train_warm_start --bf16 --cache_bf16
+        --train_steps=$STEPS --val_interval=250 --train_seed=$SEED
+        --model_chs=$CHS"
+
+EXTRA=""
+VEXTRA=""
+if [ "$HEAD" = dpp ]; then
+    EXTRA="--model_discrete --train_loss_multimodal --train_nan_guard"
+    VEXTRA="--model_discrete"
+fi
+
+if [ ! -f "$out/DONE" ]; then
+    mkdir -p "$out"
+    echo "== training $name ($(date -u +%H:%M:%S))"
+    # shellcheck disable=SC2086
+    python -m mmlf_tpu.train.cli "$out" $RECIPE $EXTRA \
+        > "$out/train.log" 2>&1
+    touch "$out/DONE"
+fi
+
+echo "== validating $name ($(date -u +%H:%M:%S))"
+# shellcheck disable=SC2086
+python -m mmlf_tpu.validate.cli "$out" "$DATA/val" --train_shift=2.5 \
+    $VEXTRA > "$ROOT/val_$name.log" 2>&1
+tail -3 "$ROOT/val_$name.log"
+echo "== $name complete ($(date -u +%H:%M:%S))"

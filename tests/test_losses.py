@@ -177,3 +177,52 @@ def test_multi_uncertainty_l1_vs_reference(capsys):
         {'mean': t(mean), 'logvar': t(logvar)}, tmpi, t(mask))
     capsys.readouterr()  # swallow the reference's debug print
     assert ours == pytest.approx(float(ref), rel=1e-4)
+
+
+def test_logvar_anchor_hand_and_gradients():
+    """Anchor = masked mean (logvar - log|err|)^2; zero at the calibrated
+    point; no gradient to the mean head through the detached target."""
+    import jax
+    import jax.numpy as jnp
+    mean = np.array([[[1.0, 2.0], [3.0, 4.0]]], np.float32)
+    target = np.zeros_like(mean)
+    mask = np.ones((1, 2, 2), np.int32)
+
+    # calibrated: logvar = log|err| -> anchor 0
+    lv_cal = np.log(np.abs(mean - target))
+    a0 = losses.logvar_anchor(_out(mean, lv_cal), target, None, mask)
+    assert float(a0) == pytest.approx(0.0, abs=1e-10)
+
+    # hand value: logvar 0 everywhere -> mean of log(err)^2
+    lv0 = np.zeros_like(mean)
+    expect = float(np.mean(np.log(np.abs(mean)) ** 2))
+    a1 = losses.logvar_anchor(_out(mean, lv0), target, None, mask)
+    assert float(a1) == pytest.approx(expect, rel=1e-6)
+
+    # the anchor's gradient wrt the MEAN is exactly zero (detached target)
+    g = jax.grad(lambda m: losses.logvar_anchor(
+        _out(m, jnp.asarray(lv0)), target, None, mask))(jnp.asarray(mean))
+    assert float(jnp.max(jnp.abs(g))) == 0.0
+
+    # mask_padding excludes out-of-range pixels
+    mp = np.array([[[1, 1], [0, 0]]], np.int32)
+    a2 = losses.logvar_anchor(_out(mean, lv0), target, None, mask,
+                              mask_padding=mp)
+    expect2 = float(np.mean(np.log(np.abs(mean[0, 0])) ** 2))
+    assert float(a2) == pytest.approx(expect2, rel=1e-6)
+
+
+def test_logvar_anchor_multimodal_weighted_error():
+    mean = np.full((1, 2, 2), 1.0, np.float32)
+    # two planes: d=0 (w=.5) and d=2 (w=.5) -> weighted |err| = 1.0
+    mpi = np.zeros((1, 2, 2, 2, 5), np.float32)
+    mpi[:, 0, ..., 3] = 0.5
+    mpi[:, 0, ..., 4] = 0.0
+    mpi[:, 1, ..., 3] = 0.5
+    mpi[:, 1, ..., 4] = 2.0
+    mask = np.ones((1, 2, 2), np.int32)
+    lv0 = np.zeros_like(mean)
+    # log(1.0) = 0 -> anchor 0 at logvar 0
+    a = losses.logvar_anchor(_out(mean, lv0), None, mpi, mask,
+                             multimodal=True)
+    assert float(a) == pytest.approx(0.0, abs=1e-9)
