@@ -34,7 +34,7 @@ def ensemble_grid(disp_min: float, disp_max: float,
 
 def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
                      disp_min: float, disp_max: float, disp_step: float,
-                     posterior_impl: str = 'auto'):
+                     posterior_impl: str = 'auto', member_offsets=None):
     """Run the shift ensemble as a single scanned program.
 
     :param apply_fn: ``fn(variables, h, v, i, d) -> output dict`` (the UPR
@@ -43,6 +43,10 @@ def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
         the VMEM-resident TPU kernel (ops/pallas/posterior.py — ~40× less
         HBM traffic than accumulating in the scan carry); ``'scan'`` keeps
         the carry accumulation (any backend); ``'auto'`` picks by backend.
+    :param member_offsets: optional ``(K,)`` per-member logvar offsets
+        (validate/calibrate.py post-hoc recalibration): every member's
+        logvar becomes ``logvar_k - offsets[k]`` before selection, the
+        member dump, and the mixture posterior.  None = reference-exact.
     :returns: dict with ``mean``, ``logvar`` (min-logvar member), ``means``,
         ``logvars`` (``(K, b, H, W)`` stacked members, reference layout) and
         ``posterior`` (``(b, H, W, K)`` Laplace mixture, channel-last)
@@ -54,6 +58,8 @@ def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
     shifts = jnp.asarray(ensemble_grid(disp_min, disp_max, disp_step))
     n_members = shifts.shape[0]
     bins = bin_centers(disp_min, disp_max, n_members)
+    offsets = (jnp.zeros_like(shifts) if member_offsets is None
+               else jnp.asarray(member_offsets, jnp.float32))
 
     b, _, hh, ww, _ = h_views.shape
     init = (
@@ -64,13 +70,14 @@ def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
         init = init + (
             jnp.zeros((b, hh, ww, n_members), dtype=jnp.float32),)
 
-    def member(carry, shift_disp):
+    def member(carry, xs):
+        shift_disp, offset = xs
         best_lv, best_mean = carry[0], carry[1]
         hs, vs, is_, ds = shift_lf(h_views, v_views, i_views, d_views,
                                    shift_disp)
         out = apply_fn(variables, hs, vs, is_, ds)
         mean = out['mean'] + shift_disp
-        logvar = out['logvar']
+        logvar = out['logvar'] - offset
 
         take = logvar < best_lv
         best_lv = jnp.where(take, logvar, best_lv)
@@ -81,7 +88,7 @@ def ensemble_forward(apply_fn, variables, h_views, v_views, i_views, d_views,
             new_carry = new_carry + (post,)
         return new_carry, (mean, logvar)
 
-    carry, (means, logvars) = jax.lax.scan(member, init, shifts)
+    carry, (means, logvars) = jax.lax.scan(member, init, (shifts, offsets))
     best_lv, best_mean = carry[0], carry[1]
 
     if posterior_impl == 'scan':
@@ -103,7 +110,8 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
                              i_views, d_views, disp_min: float,
                              disp_max: float, disp_step: float,
                              mesh, axis: str = 'data',
-                             need_members: bool = True):
+                             need_members: bool = True,
+                             member_offsets=None):
     """Shift-ensemble with the MEMBER axis sharded across the device mesh.
 
     ESE validation is the dominant inference cost (70 forwards per scene,
@@ -134,11 +142,14 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
     shifts_p[:k] = shifts
     valid_p = np.zeros(kp, np.float32)
     valid_p[:k] = 1.0
+    offs_p = np.zeros(kp, np.float32)
+    if member_offsets is not None:
+        offs_p[:k] = np.asarray(member_offsets, np.float32)
     bins = bin_centers(disp_min, disp_max, k)
 
     b, _, hh, ww, _ = h_views.shape
 
-    def local(shifts_l, valid_l, h, v, i, d, variables):
+    def local(shifts_l, valid_l, offs_l, h, v, i, d, variables):
         init = (
             jnp.full((b, hh, ww), jnp.inf, dtype=jnp.float32),
             jnp.zeros((b, hh, ww), dtype=jnp.float32),
@@ -146,22 +157,22 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
         )
 
         def member(carry, sv):
-            shift_disp, w = sv
+            shift_disp, w, off = sv
             best_lv, best_mean, post = carry
             hs, vs, is_, ds = shift_lf(h, v, i, d, shift_disp)
             out = apply_fn(variables, hs, vs, is_, ds)
             mean = out['mean'] + shift_disp
-            logvar = jnp.where(w > 0, out['logvar'], jnp.inf)
+            logvar = jnp.where(w > 0, out['logvar'] - off, jnp.inf)
 
             take = logvar < best_lv
             best_lv = jnp.where(take, logvar, best_lv)
             best_mean = jnp.where(take, mean, best_mean)
             post = post + w * laplacian(bins, mean,
-                                        jnp.exp(out['logvar']))
+                                        jnp.exp(out['logvar'] - off))
             return (best_lv, best_mean, post), (mean, logvar)
 
         (best_lv, best_mean, post), (means_l, logvars_l) = jax.lax.scan(
-            member, init, (shifts_l, valid_l))
+            member, init, (shifts_l, valid_l, offs_l))
 
         post = jax.lax.psum(post, axis) / float(k)
         all_lv = jax.lax.all_gather(best_lv, axis)          # (n, b, H, W)
@@ -182,10 +193,11 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
     n_out = 5 if need_members else 3
     shard = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(spec_m, spec_m, rep, rep, rep, rep, rep),
+        in_specs=(spec_m, spec_m, spec_m, rep, rep, rep, rep, rep),
         out_specs=(rep,) * n_out, check_vma=False)
     outs = shard(jnp.asarray(shifts_p), jnp.asarray(valid_p),
-                 h_views, v_views, i_views, d_views, variables)
+                 jnp.asarray(offs_p), h_views, v_views, i_views, d_views,
+                 variables)
     if need_members:
         best_mean, best_lv, means, logvars, posterior = outs
     else:

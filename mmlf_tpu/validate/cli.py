@@ -96,6 +96,18 @@ def n_params(variables) -> int:
               help='TPU extension: shard the --val_ensamble members over '
                    'this many devices (each scans ceil(70/N) members '
                    'locally; psum posterior + all-gather selection).')
+@click.option('--val_recalibrate', default='',
+              type=click.Path(exists=True, dir_okay=True, file_okay=False),
+              help='TPU extension (--val_ensamble only): fit per-member '
+                   'logvar offsets on up to two scenes of this calibration '
+                   'dataset (e.g. the train split) and apply them to '
+                   'member selection and the mixture posterior '
+                   '(validate/calibrate.py). Repairs a miscalibrated '
+                   'uncertainty head post hoc.')
+@click.option('--val_save_calibration', default='', type=click.Path(),
+              help='TPU extension: write the ESE calibration report (and '
+                   'fitted offsets, if any) as JSON — consumable by '
+                   'mmlf-export --calibration.')
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
               help='TPU extension: persistent XLA compilation-cache '
                    'directory (re-runs skip the cold per-scene compiles); '
@@ -103,7 +115,7 @@ def n_params(variables) -> int:
 def main(output_dir, dataset, model_invertible, model_discrete,
          val_loss_margin, val_ensamble, val_disp_step, val_disp_min,
          val_disp_max, train_shift, val_tile, mesh_space, mesh_ensemble,
-         jax_cache):
+         val_recalibrate, val_save_calibration, jax_cache):
     if jax_cache:
         from ..utils.jaxcache import enable_compilation_cache
         enable_compilation_cache(jax_cache)
@@ -112,7 +124,9 @@ def main(output_dir, dataset, model_invertible, model_discrete,
                    val_ensamble=val_ensamble, val_disp_step=val_disp_step,
                    val_disp_min=val_disp_min, val_disp_max=val_disp_max,
                    train_shift=train_shift, val_tile=val_tile,
-                   mesh_space=mesh_space, mesh_ensemble=mesh_ensemble)
+                   mesh_space=mesh_space, mesh_ensemble=mesh_ensemble,
+                   val_recalibrate=val_recalibrate,
+                   val_save_calibration=val_save_calibration)
 
 
 def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
@@ -132,7 +146,7 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
     boundary deviation the margin mask already excludes).
     """
 
-    def net_forward(variables, h, v, i, d):
+    def net_forward(variables, h, v, i, d, offsets=None):
         if val_ensamble and mesh_ens is not None:
             # --mesh_ensemble: members sharded over the mesh (the member
             # dumps stay — the analysis chain consumes them downstream)
@@ -144,7 +158,7 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
             return ensemble_forward(
                 lambda vv, *a: model.apply(vv, *a), variables, h, v, i, d,
                 disp_min=val_disp_min, disp_max=val_disp_max,
-                disp_step=val_disp_step)
+                disp_step=val_disp_step, member_offsets=offsets)
         return model.apply(variables, h, v, i, d)
 
     def metrics_from_output(output, gt, mpi):
@@ -207,9 +221,17 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
                 'kld': kld, 'kld_mm': kld_mm, 'kld_um': kld_um}
 
     if val_tile == 0:
-        def scene_eval(variables, h, v, i, d, gt, mpi):
-            output = net_forward(variables, h, v, i, d)
-            return output, metrics_from_output(output, gt, mpi)
+        if val_ensamble and mesh_ens is None:
+            # member-offset recalibration rides the same compiled program:
+            # offsets are a runtime (K,) argument, so the offset-fitting
+            # pass (zeros) and the recalibrated eval share one compile
+            def scene_eval(variables, h, v, i, d, gt, mpi, offsets):
+                output = net_forward(variables, h, v, i, d, offsets)
+                return output, metrics_from_output(output, gt, mpi)
+        else:
+            def scene_eval(variables, h, v, i, d, gt, mpi):
+                output = net_forward(variables, h, v, i, d)
+                return output, metrics_from_output(output, gt, mpi)
         return jax.jit(scene_eval)
 
     # --val_tile: split into (a) the expensive tiled forward, compiled per
@@ -226,8 +248,25 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
 
     fwd_jit = jax.jit(lambda v, s0, s1, s2, s3, pos: tiled_forward_device(
         net_forward, v, (s0, s1, s2, s3), val_tile, halo, pos=pos))
-    sdim_cache: dict = {}
-    met_cache: dict = {}
+    # bounded LRU per-shape program caches: HCI-scale scene sets see a
+    # handful of shapes, but a long-lived process evaluating many shapes
+    # must not leak one compiled metrics program per (canvas, true-shape)
+    # pair forever (evicted programs recompile — and hit the persistent
+    # XLA cache when --jax_cache is set)
+    import collections
+    MAX_SHAPE_PROGRAMS = 16
+    sdim_cache: collections.OrderedDict = collections.OrderedDict()
+    met_cache: collections.OrderedDict = collections.OrderedDict()
+
+    def _lru_get(cache, key, build):
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        val = build()
+        cache[key] = val
+        if len(cache) > MAX_SHAPE_PROGRAMS:
+            cache.popitem(last=False)
+        return val
 
     # device-side canvas pad (per-(shape, pad) jit cache) — np.pad here
     # would round-trip all four full-scene stacks through the host
@@ -244,19 +283,18 @@ def make_scene_eval(model, cfg: Config, kwargs: dict, val_ensamble: bool,
                   for s in (h, v, i, d)]
         pos = tile_positions(ht, wt, val_tile, halo,
                              pad_to=(hc // val_tile) * (wc // val_tile))
-        if (hc, wc) not in sdim_cache:
-            sdim_cache[hc, wc] = probe_sdim(net_forward, variables, stacks,
-                                            val_tile, halo)
-        sdim = sdim_cache[hc, wc]
+        sdim = _lru_get(sdim_cache, (hc, wc),
+                        lambda: probe_sdim(net_forward, variables, stacks,
+                                           val_tile, halo))
         output = fwd_jit(variables, *stacks, jnp.asarray(pos))
 
-        mkey = (hc, wc, ht, wt)
-        if mkey not in met_cache:
-            def met(output, gt, mpi, _ht=ht, _wt=wt, _sdim=sdim):
+        def build_met(_ht=ht, _wt=wt, _sdim=sdim):
+            def met(output, gt, mpi):
                 out = crop_outputs(output, _sdim, _ht, _wt)
                 return out, metrics_from_output(out, gt, mpi)
-            met_cache[mkey] = jax.jit(met)
-        return met_cache[mkey](output, gt, mpi)
+            return jax.jit(met)
+        return _lru_get(met_cache, (hc, wc, ht, wt), build_met)(
+            output, gt, mpi)
 
     return scene_eval
 
@@ -265,7 +303,8 @@ def run_validation(output_dir, dataset, model_discrete=False,
                    val_loss_margin=15, val_ensamble=False,
                    val_disp_step=0.1, val_disp_min=-3.5, val_disp_max=3.5,
                    train_shift=0.0, val_tile=0, mesh_space=1,
-                   mesh_ensemble=1):
+                   mesh_ensemble=1, val_recalibrate='',
+                   val_save_calibration=''):
     """Programmatic entry (the CLI body), returns the metric averages."""
     variables, kwargs = load_model_state(output_dir)
     # stored config + whitelisted CLI overrides (reference :214-217)
@@ -326,6 +365,50 @@ def run_validation(output_dir, dataset, model_discrete=False,
                                  val_loss_margin, n_bins,
                                  val_tile=val_tile, mesh_ens=mesh_ens)
 
+    # --- ESE logvar-calibration machinery (validate/calibrate.py) ---
+    # offsets ride the jitted program as a runtime (K,) argument on the
+    # plain ensemble path, so the fit pass and the eval share one compile
+    ens_guard = val_ensamble and not cfg.model_inn
+    extra_args = ()
+    shifts_grid = None
+    member_offsets = None
+    if ens_guard:
+        from ..models.ensemble import ensemble_grid
+        from .calibrate import fit_member_offsets
+        shifts_grid = ensemble_grid(val_disp_min, val_disp_max,
+                                    val_disp_step)
+        if val_recalibrate:
+            if val_tile > 0 or mesh_ensemble > 1:
+                raise click.UsageError(
+                    '--val_recalibrate is only supported on the plain '
+                    'ensemble path (not --val_tile / --mesh_ensemble)')
+            calset = HCI4D(val_recalibrate, transform=transform)
+            zeros = jnp.zeros(len(shifts_grid), jnp.float32)
+            cal_stats = []
+            for j in range(min(2, len(calset.scenes))):
+                print(f'Calibrating on scene {j} of {val_recalibrate}...')
+                ch, cv, ci, cd, _, cgt, cmpi, _, _ = calset[j]
+                stacks = [jnp.asarray(x[None]) for x in (ch, cv, ci, cd)]
+                out_c, _ = scene_eval(variables, *stacks,
+                                      jnp.asarray(cgt[None]),
+                                      jnp.asarray(pad_mpi(cmpi)[None]),
+                                      zeros)
+                m = np.asarray(create_mask_margin(cgt.shape,
+                                                  val_loss_margin)) > 0
+                cal_stats.append((np.asarray(out_c['means'])[:, 0],
+                                  np.asarray(out_c['logvars'])[:, 0],
+                                  cgt, m))
+            member_offsets = fit_member_offsets(cal_stats)
+            print(f'Fitted member logvar offsets: mean '
+                  f'{member_offsets.mean():+.3f}, range '
+                  f'[{member_offsets.min():+.3f}, '
+                  f'{member_offsets.max():+.3f}]')
+        if val_tile == 0 and mesh_ens is None:
+            extra_args = (jnp.asarray(
+                member_offsets if member_offsets is not None
+                else np.zeros(len(shifts_grid), np.float32)),)
+    cal_scenes = []
+
     # optional spatial sharding: scenes split over a 'space' mesh axis,
     # XLA SPMD inserts the conv halo exchanges (parallel/mesh.py)
     mesh = None
@@ -354,8 +437,17 @@ def run_validation(output_dir, dataset, model_discrete=False,
             gt_j = jax.device_put(gt_j, spatial_sharding(mesh, h_axis=1))
             mpi_j = jax.device_put(mpi_j, spatial_sharding(mesh, h_axis=2))
 
-        output, metrics = scene_eval(variables, *stacks, gt_j, mpi_j)
+        output, metrics = scene_eval(variables, *stacks, gt_j, mpi_j,
+                                     *extra_args)
         metrics = jax.tree_util.tree_map(float, metrics)
+
+        if ens_guard and output.get('means') is not None:
+            from .calibrate import scene_calibration
+            m = np.asarray(create_mask_margin(gt.shape,
+                                              val_loss_margin)) > 0
+            cal_scenes.append(scene_calibration(
+                shifts_grid, np.asarray(output['means'])[:, 0],
+                np.asarray(output['logvars'])[:, 0], gt, m))
 
         mse_avg += metrics['mse']
         bad_pix_avg += metrics['bad_pix']
@@ -405,9 +497,34 @@ def run_validation(output_dir, dataset, model_discrete=False,
           f'{kld_mm_avg:.3f} & {kld_avg:.3f} & - & {runtime:.3f} \\\\')
     print('NLL: ', nll_eval)
 
-    return {'mse': mse_avg, 'badpix': bad_pix_avg, 'kld': kld_avg,
-            'kld_mm': kld_mm_avg, 'kld_um': kld_um_avg,
-            'nll': nll_eval_avg, 'runtime': runtime}
+    result = {'mse': mse_avg, 'badpix': bad_pix_avg, 'kld': kld_avg,
+              'kld_mm': kld_mm_avg, 'kld_um': kld_um_avg,
+              'nll': nll_eval_avg, 'runtime': runtime}
+
+    if cal_scenes:
+        from .calibrate import calibration_report
+        report = calibration_report(cal_scenes, mse_avg)
+        bare = ('n/a' if report['bare_mse'] is None
+                else f"{report['bare_mse']:.5f}")
+        print(f"ESE calibration: rank-corr {report['rank_corr']:+.3f}, "
+              f"bare MSE {bare}, ESE MSE {report['ese_mse']:.5f}"
+              + (' (recalibrated)' if member_offsets is not None else ''))
+        for w in report['warnings']:
+            print(w, file=sys.stderr)
+        result['ese_calibration'] = report
+        if val_save_calibration:
+            import json
+            payload = dict(report,
+                           member_offsets=None if member_offsets is None
+                           else [float(x) for x in member_offsets],
+                           val_disp_min=val_disp_min,
+                           val_disp_max=val_disp_max,
+                           val_disp_step=val_disp_step)
+            with open(val_save_calibration, 'w') as f:
+                json.dump(payload, f, indent=1)
+            print(f'calibration report written to {val_save_calibration}')
+
+    return result
 
 
 if __name__ == '__main__':
