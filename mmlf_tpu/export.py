@@ -32,7 +32,7 @@ MAGIC = b'MMLFEXP1'
 def build_inference(output_dir: str, val_ensamble: bool = False,
                     val_disp_min: float = -3.5, val_disp_max: float = 3.5,
                     val_disp_step: float = 0.1, members: bool = False,
-                    u8: bool = False):
+                    u8: bool = False, calibration: dict | None = None):
     """(fn(variables, h, v, i, d) -> output dict, variables, meta dict).
 
     Mirrors the validate CLI's model reconstruction: stored hyper-parameters
@@ -45,6 +45,12 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
     on device — the signature grows a trailing f32 scalar,
     ``fn(variables, h, v, i, d, shift)``.  Normalize-then-shift equals the
     host path's shift-of-normalized views exactly (both are linear).
+
+    ``calibration`` is the JSON payload written by the validate CLI's
+    ``--val_save_calibration`` (validate/calibrate.py): its ESE guard
+    scores land in the artifact meta (served via /healthz), and its
+    ``member_offsets``, when present, are baked into the ensemble program
+    (min-logvar selection + mixture posterior run recalibrated).
     """
     from .config import Config
     from .models import FeedForward
@@ -70,6 +76,14 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
                                     'model_no_batchnorm': True})
         model = FeedForward.from_config(cfg)
 
+    member_offsets = None
+    if calibration and calibration.get('member_offsets') is not None:
+        if not val_ensamble:
+            raise ValueError('calibration member_offsets only apply to an '
+                             'ensemble export (--val_ensamble)')
+        member_offsets = np.asarray(calibration['member_offsets'],
+                                    np.float32)
+
     def core(variables, h, v, i, d):
         if val_ensamble:
             from .models.ensemble import ensemble_forward
@@ -77,6 +91,7 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
                 lambda vv, *a: model.apply(vv, *a), variables, h, v, i, d,
                 disp_min=val_disp_min, disp_max=val_disp_max,
                 disp_step=val_disp_step,
+                member_offsets=member_offsets,
                 # the artifact must run on any platform — no Pallas
                 posterior_impl='scan')
             if not members:      # (K, b, H, W) stacks are the bulky part
@@ -102,6 +117,16 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
             'val_disp_min': val_disp_min, 'val_disp_max': val_disp_max,
             'val_disp_step': val_disp_step, 'members': members,
             'views': cfg.model_views, 'u8': u8}
+    if val_ensamble:
+        # /healthz surfaces this: an ensemble whose logvar calibration was
+        # never checked is a known silent-failure surface (calibrate.py)
+        meta['calibration'] = None if calibration is None else {
+            'rank_corr': calibration.get('rank_corr'),
+            'bare_mse': calibration.get('bare_mse'),
+            'ese_mse': calibration.get('ese_mse'),
+            'calibrated': calibration.get('calibrated'),
+            'recalibrated': member_offsets is not None,
+        }
     return fwd, variables, meta
 
 
@@ -110,15 +135,18 @@ def export_inference(output_dir: str, height: int, width: int,
                      val_disp_min: float = -3.5, val_disp_max: float = 3.5,
                      val_disp_step: float = 0.1, members: bool = False,
                      platforms=('tpu', 'cpu'), batch: int = 1,
-                     u8: bool = False) -> bytes:
+                     u8: bool = False, calibration: dict | None = None
+                     ) -> bytes:
     """Serialize the full inference program for ``(batch, views, H, W, 3)``
     scenes into a self-contained artifact (weights + StableHLO + meta).
 
     ``u8=True`` artifacts ingest raw uint8 views plus a trailing f32
-    ``shift`` scalar (see ``build_inference``)."""
+    ``shift`` scalar (see ``build_inference``).  ``calibration`` is the
+    validate CLI's ``--val_save_calibration`` payload (report into meta,
+    member offsets baked into the ensemble program)."""
     fwd, variables, meta = build_inference(
         output_dir, val_ensamble, val_disp_min, val_disp_max, val_disp_step,
-        members, u8=u8)
+        members, u8=u8, calibration=calibration)
     n = meta['views']
     stack = jax.ShapeDtypeStruct((batch, n, height, width, 3),
                                  np.uint8 if u8 else np.float32)
@@ -188,18 +216,28 @@ def load_exported(path_or_bytes):
               help='Low-transfer ingest: the artifact takes RAW uint8 view '
                    'stacks plus a runtime f32 shift scalar, and normalizes '
                    '+ re-centers on device (4x less host-to-device traffic)')
+@click.option('--calibration', default=None,
+              type=click.Path(exists=True, dir_okay=False),
+              help='ESE calibration JSON from the validate CLI\'s '
+                   '--val_save_calibration: the guard scores land in the '
+                   'artifact meta (served via /healthz) and fitted member '
+                   'offsets are baked into the ensemble program')
 @click.option('--platforms', default='tpu,cpu',
               help='Comma-separated lowering platforms')
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
               help='Persistent XLA compilation-cache directory, '
                    'also via $MMLF_JAX_CACHE')
 def main(output_dir, artifact, height, width, batch, val_ensamble,
-         val_disp_min, val_disp_max, val_disp_step, members, u8, platforms,
-         jax_cache):
+         val_disp_min, val_disp_max, val_disp_step, members, u8,
+         calibration, platforms, jax_cache):
     """Export a checkpoint's inference program as a serving artifact."""
     if jax_cache:
         from .utils.jaxcache import enable_compilation_cache
         enable_compilation_cache(jax_cache)
+    cal = None
+    if calibration:
+        with open(calibration) as f:
+            cal = json.load(f)
     try:
         blob = export_inference(
             output_dir, height, width, val_ensamble=val_ensamble,
@@ -207,7 +245,7 @@ def main(output_dir, artifact, height, width, batch, val_ensamble,
             val_disp_step=val_disp_step, members=members, u8=u8,
             platforms=tuple(p.strip() for p in platforms.split(',')
                             if p.strip()),
-            batch=batch)
+            batch=batch, calibration=cal)
     except ValueError as e:
         raise click.UsageError(str(e))
     with open(artifact, 'wb') as f:

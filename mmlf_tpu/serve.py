@@ -57,7 +57,8 @@ class InferenceEngine:
 
     def __init__(self, model_path: str, val_ensamble: bool = False,
                  train_shift: float = 0.0, data_root: str = '',
-                 u8: bool = False, decode_threads: int = 8):
+                 u8: bool = False, decode_threads: int = 8,
+                 calibration: str = ''):
         self.train_shift = float(train_shift)
         self.decode_threads = int(decode_threads)
         self.data_root = (os.path.realpath(data_root) if data_root else '')
@@ -70,8 +71,13 @@ class InferenceEngine:
         if os.path.isdir(model_path):
             from .export import build_inference
             import jax
+            cal = None
+            if calibration:
+                with open(calibration) as f:
+                    cal = json.load(f)
             fwd, variables, meta = build_inference(
-                model_path, val_ensamble=val_ensamble, u8=u8)
+                model_path, val_ensamble=val_ensamble, u8=u8,
+                calibration=cal)
             # pin the weights in HBM: numpy args to a jitted fn are
             # re-transferred EVERY call (~18 MB/request through the relay)
             variables = jax.device_put(variables)
@@ -151,13 +157,16 @@ class InferenceEngine:
                                 raw_views=self.u8,
                                 threads=self.decode_threads)
             if self.u8:
-                # stacks stay uint8 (device shifts them); GT and the MPI
-                # disparity channel are corrected here so the sample obeys
-                # the same re-centered contract as T.Shift (ops/shift.py)
-                mpi = sample[6].copy()
-                mpi[..., 4] -= np.float32(shift)
-                sample = sample[:5] + (sample[5] - np.float32(shift),
-                                       mpi) + sample[7:]
+                if shift != 0.0:
+                    # stacks stay uint8 (device shifts them); GT and the
+                    # MPI disparity channel are corrected here so the
+                    # sample obeys the same re-centered contract as
+                    # T.Shift (ops/shift.py).  At shift 0 this is a no-op
+                    # — skip the per-request MPI copy like the fp32 branch
+                    mpi = sample[6].copy()
+                    mpi[..., 4] -= np.float32(shift)
+                    sample = sample[:5] + (sample[5] - np.float32(shift),
+                                           mpi) + sample[7:]
             elif shift != 0.0:
                 sample = T.Shift(shift)(sample)
             samples.append(sample)
@@ -248,14 +257,26 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
         def do_GET(self):
             if self.path == '/healthz':
                 cfg = engine.meta.get('config', {})
-                self._send(200, {
+                payload = {
                     'status': 'ok',
                     'fixed_shape': engine.fixed_shape,
                     'val_ensamble': engine.meta.get('val_ensamble', False),
                     'model': {k: cfg.get(k) for k in
                               ('model_chs', 'model_uncert', 'model_discrete',
                                'model_unet', 'model_views')},
-                })
+                }
+                if payload['val_ensamble']:
+                    # min-logvar member selection fails SILENTLY on a
+                    # miscalibrated uncertainty head (validate/calibrate.py)
+                    # — an ensemble that was never checked must say so
+                    cal = engine.meta.get('calibration')
+                    payload['calibration'] = cal if cal is not None else {
+                        'status': 'unchecked',
+                        'hint': 'run the validate CLI with --val_ensamble '
+                                '--val_save_calibration and re-export with '
+                                '--calibration (or serve --calibration)',
+                    }
+                self._send(200, payload)
             elif self.path == '/stats':
                 with engine.stats_lock:
                     s = dict(engine.stats)
@@ -309,8 +330,14 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
                    '(PIL releases the GIL; 0 = serial)')
 @click.option('--data_root', default='', type=click.Path(),
               help='Confine scene_dir/out_dir paths to this directory tree '
-                   '(set this whenever --host is not loopback; the API has '
+                   '(REQUIRED whenever --host is not loopback; the API has '
                    'no authentication)')
+@click.option('--calibration', default=None,
+              type=click.Path(exists=True, dir_okay=False),
+              help='Checkpoint-dir ensemble mode: ESE calibration JSON '
+                   'from the validate CLI (--val_save_calibration); guard '
+                   'scores show on /healthz, fitted member offsets apply '
+                   'to selection/posterior')
 @click.option('--warmup_size', default=0,
               help='Checkpoint-dir mode: compile for this scene size at '
                    'startup (artifacts always warm at their exported shape)')
@@ -319,14 +346,22 @@ def make_server(engine: InferenceEngine, host: str = '127.0.0.1',
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
               help='Persistent XLA compilation-cache directory')
 def main(model, host, port, val_ensamble, u8, train_shift, decode_threads,
-         data_root, warmup_size, no_warmup, jax_cache):
+         data_root, calibration, warmup_size, no_warmup, jax_cache):
     """Serve depth inference from an export artifact or checkpoint dir."""
+    if host not in ('127.0.0.1', 'localhost', '::1') and not data_root:
+        # an unauthenticated API that reads/writes caller-supplied paths
+        # must not face a network without path confinement
+        raise click.UsageError(
+            f'--host {host} is not loopback: the API has no '
+            f'authentication, so --data_root is required to confine '
+            f'scene/output paths')
     if jax_cache:
         from .utils.jaxcache import enable_compilation_cache
         enable_compilation_cache(jax_cache)
     engine = InferenceEngine(model, val_ensamble=val_ensamble,
                              train_shift=train_shift, data_root=data_root,
-                             u8=u8, decode_threads=decode_threads)
+                             u8=u8, decode_threads=decode_threads,
+                             calibration=calibration)
     if not no_warmup:
         shape = engine.warmup(warmup_size)
         if shape:

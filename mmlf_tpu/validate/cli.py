@@ -96,7 +96,7 @@ def n_params(variables) -> int:
               help='TPU extension: shard the --val_ensamble members over '
                    'this many devices (each scans ceil(70/N) members '
                    'locally; psum posterior + all-gather selection).')
-@click.option('--val_recalibrate', default='',
+@click.option('--val_recalibrate', default=None,
               type=click.Path(exists=True, dir_okay=True, file_okay=False),
               help='TPU extension (--val_ensamble only): fit per-member '
                    'logvar offsets on up to two scenes of this calibration '

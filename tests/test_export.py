@@ -204,3 +204,35 @@ def test_export_cli(ckpt, tmp_path):
     fn, meta = load_exported(path)
     out = fn(*_stacks(32))
     assert np.isfinite(np.asarray(out['mean'])).all()
+
+
+def test_export_with_calibration(ckpt):
+    """--calibration: scores land in meta, member offsets are baked into
+    the ensemble program (constant offset -> same selection, logvar
+    lowered by exactly the offset)."""
+    cal = {'rank_corr': 0.81, 'bare_mse': 0.1, 'ese_mse': 0.05,
+           'calibrated': True, 'member_offsets': [1.0] * 7}
+    blob = export_inference(ckpt, 32, 32, val_ensamble=True,
+                            val_disp_step=1.0, platforms=('cpu',),
+                            calibration=cal)
+    fn, meta = load_exported(blob)
+    assert meta['calibration']['recalibrated'] is True
+    assert meta['calibration']['rank_corr'] == pytest.approx(0.81)
+
+    blob0 = export_inference(ckpt, 32, 32, val_ensamble=True,
+                             val_disp_step=1.0, platforms=('cpu',))
+    fn0, meta0 = load_exported(blob0)
+    assert meta0['calibration'] is None    # exported unchecked
+
+    s = _stacks(32)
+    out, out0 = fn(*s), fn0(*s)
+    np.testing.assert_array_equal(np.asarray(out['mean']),
+                                  np.asarray(out0['mean']))
+    np.testing.assert_allclose(np.asarray(out['logvar']),
+                               np.asarray(out0['logvar']) - 1.0, atol=1e-6)
+
+
+def test_export_calibration_requires_ensemble(ckpt):
+    with pytest.raises(ValueError, match='only apply to an ensemble'):
+        export_inference(ckpt, 32, 32, platforms=('cpu',),
+                         calibration={'member_offsets': [1.0] * 7})

@@ -206,3 +206,50 @@ def test_train_shift_applied(env):
     r0 = engine.infer(scene)
     r1 = engine.infer(scene, train_shift=1.0)
     assert r0['disp'] != r1['disp']
+
+
+def test_healthz_ensemble_calibration_field(env):
+    """Ensemble healthz must disclose calibration status: 'unchecked'
+    without a report, the guard scores with one (VERDICT r3 item 8)."""
+    root, ckpt, scene = env
+    engine = InferenceEngine(ckpt, val_ensamble=True)
+    srv = make_server(engine, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, body = _request(srv.server_address[1], 'GET', '/healthz')
+        assert code == 200 and body['val_ensamble']
+        assert body['calibration']['status'] == 'unchecked'
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    cal = str(root / 'cal.json')
+    with open(cal, 'w') as f:
+        json.dump({'rank_corr': 0.8, 'bare_mse': 0.1, 'ese_mse': 0.05,
+                   'calibrated': True, 'member_offsets': None}, f)
+    engine = InferenceEngine(ckpt, val_ensamble=True, calibration=cal)
+    srv = make_server(engine, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, body = _request(srv.server_address[1], 'GET', '/healthz')
+        assert body['calibration']['calibrated'] is True
+        assert body['calibration']['recalibrated'] is False
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_nonloopback_requires_data_root(env):
+    from click.testing import CliRunner
+    from mmlf_tpu.serve import main
+    root, ckpt, scene = env
+    res = CliRunner().invoke(main, [ckpt, '--host', '0.0.0.0',
+                                    '--no_warmup'])
+    assert res.exit_code != 0
+    assert 'data_root is required' in res.output
+    # loopback still starts without confinement (construction only: the
+    # engine builds, then we fail fast on a bad port bind)
+    res = CliRunner().invoke(main, [ckpt, '--port', '-1', '--no_warmup'])
+    assert 'data_root is required' not in str(res.output)
