@@ -38,6 +38,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 A100_PATCHES_PER_SEC_EST = 230.0     # reference 70-ch recipe estimate
 # 64-ch-equivalent A100 estimate: rescaled by the analytic FLOP ratio
 # (268.4 / 224.5 GF/patch, conv_flops_per_patch) ≈ 275 patches/s
@@ -156,6 +158,86 @@ def measure(cfg_kwargs, batch, measure=MEASURE, label=''):
     return batch / dt_async, batch / dt_sync
 
 
+def step_split(cfg_kwargs, batch, n=6, label=''):
+    """Decompose the step: fwd+bwd / fwd / gather+augment / adam (ms).
+
+    The bench-JSON version of scripts/step_ablation.py (VERDICT r3 item 6):
+    regressions localize from the recorded JSON instead of a manual probe
+    run.  Parts are timed on FIXED pre-gathered windows with a per-step
+    host sync (the relay needs its dispatch queue drained), so the split
+    carries the ~32 ms RTT per row — compare rows to each other, not to
+    the async full-step number.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mmlf_tpu.config import Config
+    from mmlf_tpu.data.hci4d import HCI4D
+    from mmlf_tpu.data.pipeline import (DevicePipeline, gather_augment,
+                                        window_size)
+    from mmlf_tpu.models import FeedForward
+    from mmlf_tpu.train.loop import (compute_loss, init_state,
+                                     prepare_targets)
+
+    cfg = Config(train_trainset=ensure_data(), train_bs=batch, train_ps=96,
+                 train_lr=1e-3, train_shift=0.0, model_uncert=True,
+                 train_warm_start=True, bf16=True, cache_bf16=True,
+                 **cfg_kwargs).finalize()
+    dataset = HCI4D(cfg.train_trainset, cache=True, length=4096)
+    pipe = DevicePipeline(dataset, cfg, seed=0)
+    model = FeedForward.from_config(cfg)
+    tx = optax.scale_by_adam()
+    state = init_state(cfg, model, tx, [jnp.zeros((1, 9, 96, 96, 3))] * 4)
+
+    def timeit(fn, *args):
+        def sync(out):
+            leaf = [l for l in jax.tree_util.tree_leaves(out)
+                    if hasattr(l, 'ravel')][0]
+            float(np.ravel(np.asarray(leaf))[0])   # true host readback
+        sync(fn(*args))                            # compile + warm
+        t0 = time.time()
+        for _ in range(n):
+            sync(fn(*args))
+        return (time.time() - t0) / n * 1000.0
+
+    db = pipe.sample_batch(batch)
+    h, v, i, d, gt, mpi, mask = jax.jit(
+        lambda c, b: gather_augment(c, b, cfg.train_ps,
+                                    window_size(cfg.train_ps),
+                                    with_mpi=False))(pipe.cache, db)
+
+    def loss_fn(params, stats, h, v, i, d, gt, mask):
+        g2, mpi2, gtc, m2, mp = prepare_targets(cfg, gt, None, mask)
+        out, _ = model.apply({'params': params, 'batch_stats': stats},
+                             h, v, i, d, train=True,
+                             mutable=['batch_stats'])
+        return compute_loss(cfg, out, g2, mpi2, gtc, m2, mp)
+
+    split = {}
+    gfn = jax.jit(jax.value_and_grad(loss_fn))
+    split['fwd_bwd'] = timeit(lambda *a: gfn(*a)[0], state.params,
+                              state.batch_stats, h, v, i, d, gt, mask)
+    split['fwd'] = timeit(jax.jit(loss_fn), state.params, state.batch_stats,
+                          h, v, i, d, gt, mask)
+    split['gather_augment'] = timeit(
+        jax.jit(lambda c, b: gather_augment(
+            c, b, cfg.train_ps, window_size(cfg.train_ps), with_mpi=False,
+            parity=True)), pipe.cache, db)
+
+    _, grads = gfn(state.params, state.batch_stats, h, v, i, d, gt, mask)
+
+    def adam(grads, opt_state, params):
+        upd, _ = tx.update(grads, opt_state, params)
+        return optax.apply_updates(
+            params, jax.tree_util.tree_map(lambda u: -1e-3 * u, upd))
+    split['adam'] = timeit(jax.jit(adam), grads, state.opt_state,
+                           state.params)
+    split = {k: round(ms, 1) for k, ms in split.items()}
+    print(f'[{label}] split (ms, per-step-sync): {split}', file=sys.stderr)
+    return split
+
+
 def _heartbeat_while_acquiring():
     """Print a stderr heartbeat until device acquisition finishes.
 
@@ -225,7 +307,8 @@ CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           'docs', 'BENCH_CACHE.json')
 
 
-def emit(pps, pps_sync, pps70, pps512, extra=None):
+def emit(pps, pps_sync, pps70, pps512, pps70_sync=None, splits=None,
+         extra=None):
     """Print THE one-line JSON result from the raw measured rates."""
     mfu64 = pps * conv_flops_per_patch(64) / V5E_PEAK_BF16
     mfu70 = pps70 * conv_flops_per_patch(70) / V5E_PEAK_BF16
@@ -244,6 +327,12 @@ def emit(pps, pps_sync, pps70, pps512, extra=None):
         'mfu_chs70': round(mfu70, 3),
         'config': 'UPR chs=64 bs=128 ps=96 bf16 (TPU recipe)',
     }
+    if pps70_sync is not None:
+        rec['value_chs70_synced'] = round(pps70_sync, 1)
+    if splits:
+        # per-part step decomposition (ms, per-step-sync incl. relay RTT):
+        # regressions localize from the JSON (scripts/step_ablation.py)
+        rec.update(splits)
     if extra:
         rec.update(extra)
     print(json.dumps(rec))
@@ -270,7 +359,8 @@ def main():
         print(f'TPU unavailable ({e}); replaying last hardware run '
               f'from {cache["measured_at"]}', file=sys.stderr)
         emit(cache['pps'], cache['pps_sync'], cache['pps70'],
-             cache['pps512'],
+             cache['pps512'], pps70_sync=cache.get('pps70_sync'),
+             splits=cache.get('splits'),
              extra={'stale': True,
                     'stale_reason': 'TPU relay unavailable at bench time; '
                                     'values are the last on-hardware '
@@ -287,19 +377,33 @@ def main():
 
     pps, pps_sync = measure({'model_chs': 64}, BATCH, label='chs=64 recipe')
     # bs=128 is the per-patch sweet spot for chs=70 too (round-3 ablation:
-    # 329 p/s synced at bs=128 vs 271 async at the r2 bs=64 measurement)
-    pps70, _ = measure({'model_chs': 70}, BATCH, measure=10,
-                       label='chs=70 parity')
+    # 329 p/s synced at bs=128 vs 271 async at the r2 bs=64 measurement);
+    # measured with the SAME averaging as the chs=64 leg (VERDICT r3
+    # item 6 — the most contested number no longer gets the least samples)
+    pps70, pps70_sync = measure({'model_chs': 70}, BATCH,
+                                label='chs=70 parity')
     # the reference README's bs=512 recipe, realized as 4 accumulation
     # microbatches in one program (VERDICT r2 item 2)
     pps512, _ = measure({'model_chs': 64, 'train_accum': 4}, 512,
                         measure=6, label='bs=512 recipe')
 
+    # per-part decomposition into the JSON (VERDICT r3 item 6); opt out
+    # with MMLF_BENCH_NO_SPLIT=1 if bench wall time is at a premium
+    splits = None
+    if not os.environ.get('MMLF_BENCH_NO_SPLIT'):
+        splits = {
+            'split_ms': step_split({'model_chs': 64}, BATCH,
+                                   label='split chs=64'),
+            'split_ms_chs70': step_split({'model_chs': 70}, BATCH,
+                                         label='split chs=70'),
+        }
+
     # cache the raw rates so a later relay outage can replay them
     # (marked stale) instead of recording nothing
     try:
         json.dump({'pps': pps, 'pps_sync': pps_sync, 'pps70': pps70,
-                   'pps512': pps512,
+                   'pps70_sync': pps70_sync, 'pps512': pps512,
+                   'splits': splits,
                    'measured_at': time.strftime('%Y-%m-%dT%H:%M:%SZ',
                                                 time.gmtime())},
                   open(CACHE_PATH, 'w'), indent=1)
@@ -308,7 +412,8 @@ def main():
 
     # MFU fields (VERDICT r2 item 5): analytic conv FLOPs / wall time /
     # chip peak — independent of the A100 baseline estimate
-    emit(pps, pps_sync, pps70, pps512)
+    emit(pps, pps_sync, pps70, pps512, pps70_sync=pps70_sync,
+         splits=splits)
 
 
 if __name__ == '__main__':

@@ -101,3 +101,20 @@ def test_acquire_devices_deadline(bench, monkeypatch):
     with pytest.raises(RuntimeError, match='no TPU device'):
         bench._acquire_devices(max_wait_s=0.5)
     assert calls['n'] >= 1
+
+
+def test_emit_new_round4_fields(bench):
+    splits = {'split_ms': {'fwd_bwd': 263.0, 'fwd': 92.2,
+                           'gather_augment': 91.4, 'adam': 41.1},
+              'split_ms_chs70': {'fwd_bwd': 345.0, 'fwd': 120.5,
+                                 'gather_augment': 81.7, 'adam': 34.0}}
+    text = _capture_stdout(lambda: bench.emit(
+        506.3, 418.8, 376.4, 507.4, pps70_sync=330.0, splits=splits))
+    rec = json.loads(text.strip().splitlines()[0])
+    assert rec['value_chs70_synced'] == 330.0
+    assert rec['split_ms']['fwd_bwd'] == 263.0
+    assert rec['split_ms_chs70']['adam'] == 34.0
+    # absent on old caches: emit must not require them (stale replay)
+    text = _capture_stdout(lambda: bench.emit(506.3, 418.8, 376.4, 507.4))
+    rec = json.loads(text.strip().splitlines()[0])
+    assert 'value_chs70_synced' not in rec and 'split_ms' not in rec
