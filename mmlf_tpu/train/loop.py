@@ -479,8 +479,14 @@ def train(cfg: Config, output_dir: str,
     # exit so nested callers keep their semantics.
     def save_rolling_checkpoint():
         """Rolling checkpoint at the loop's CURRENT (state, i) — shared by
-        the val-interval save and the SIGTERM save so the payload can
-        never diverge between the two paths."""
+        the val-interval save and the SIGTERM save so the PAYLOAD can
+        never diverge between the two paths.  The iteration stamp's
+        meaning intentionally differs by one: the val-interval save runs
+        BEFORE ``i += 1`` (resume re-runs step i — the reference's replay
+        quirk, its loop also checkpoints pre-increment), while the SIGTERM
+        save runs AFTER it (resume continues at the next step, replaying
+        nothing — replay-free is the right semantics for preemption,
+        where the same pod may be rescheduled immediately)."""
         tree = {'params': state.params,
                 'batch_stats': state.batch_stats,
                 'opt_state': state.opt_state}
@@ -587,9 +593,9 @@ def train(cfg: Config, output_dir: str,
                 while pending:
                     emit_row(pending.popleft())
                 save_rolling_checkpoint()
-                print(f'SIGTERM: checkpoint written at step {i}; exiting '
-                      f'cleanly (continue with --train_resume)',
-                      file=sys.stderr)
+                print(f'SIGTERM: checkpoint written after step {i - 1} '
+                      f'({i} steps completed); exiting cleanly (continue '
+                      f'with --train_resume)', file=sys.stderr)
                 break
             if cfg.train_steps and i >= cfg.train_steps:
                 break

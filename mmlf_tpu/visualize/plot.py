@@ -34,8 +34,17 @@ def read_csv(path: str):
     """Header + float columns from an exporter CSV (comma + padding)."""
     with open(path) as f:
         names = [c.strip() for c in f.readline().split(',')]
+    if len(names) < 2:
+        # an x column plus at least one series; atleast_2d would otherwise
+        # misread an x-only file as one ROW and give a confusing shape error
+        raise click.ClickException(
+            f'{path}: only {len(names)} column(s) — nothing to plot '
+            f'(need an x column plus at least one series)')
     data = np.genfromtxt(path, delimiter=',', skip_header=1, dtype=np.float64)
-    data = np.atleast_2d(data)
+    if data.ndim == 1:
+        # genfromtxt flattens both single-row and single-column files;
+        # the header says which one this is
+        data = data.reshape(-1, len(names))
     if data.shape[1] != len(names):
         raise click.ClickException(
             f'{path}: {len(names)} header columns but {data.shape[1]} data '

@@ -187,3 +187,20 @@ def test_plot_renderer(artifacts, tmp_path):
     names, data = read_csv(str(out / 'sparsify.csv'))
     assert names == ['frac', 'oracle', 'uncert', 'sparse_err']
     assert data.shape[1] == 4
+
+
+def test_plot_read_csv_degenerate_shapes(tmp_path):
+    """ADVICE r3: a one-data-row CSV parses as one row (not N columns),
+    and an x-only CSV is rejected with a clear message."""
+    import click
+    from mmlf_tpu.visualize.plot import read_csv
+
+    p = tmp_path / 'row.csv'
+    p.write_text('x, a, b\n1.0, 2.0, 3.0\n')
+    names, data = read_csv(str(p))
+    assert names == ['x', 'a', 'b'] and data.shape == (1, 3)
+
+    p2 = tmp_path / 'xonly.csv'
+    p2.write_text('x\n1.0\n2.0\n')
+    with pytest.raises(click.ClickException, match='nothing to plot'):
+        read_csv(str(p2))
