@@ -32,7 +32,8 @@ MAGIC = b'MMLFEXP1'
 def build_inference(output_dir: str, val_ensamble: bool = False,
                     val_disp_min: float = -3.5, val_disp_max: float = 3.5,
                     val_disp_step: float = 0.1, members: bool = False,
-                    u8: bool = False, calibration: dict | None = None):
+                    u8: bool = False, calibration: dict | None = None,
+                    tiled: int = 0):
     """(fn(variables, h, v, i, d) -> output dict, variables, meta dict).
 
     Mirrors the validate CLI's model reconstruction: stored hyper-parameters
@@ -101,15 +102,42 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
             out = model.apply(variables, h, v, i, d)
         return {k: v for k, v in out.items() if v is not None}
 
+    halo = sdim = None
+    if tiled:
+        # shape-polymorphic tiled program (validate/tiling.py): a lax.scan
+        # over a runtime tile-position table stitches interior tiles into
+        # canvas-sized buffers — exact wherever the halo covers the
+        # receptive field, so ONE exported artifact serves ANY scene shape
+        # (canvas = scene padded up to a tile multiple; VERDICT r3 item 4)
+        from .validate.tiling import receptive_radius, tiled_forward_device
+        if cfg.model_inn:
+            raise ValueError('tiled export does not support the INN '
+                             '(per-image outputs cannot be stitched)')
+        halo = receptive_radius(cfg.model_ksize, cfg.model_in_blocks,
+                                cfg.model_out_blocks)
+        if val_ensamble:   # the member shift reaches ceil(disp)+1 further
+            halo += int(np.ceil(max(abs(val_disp_min),
+                                    abs(val_disp_max)))) + 1
+        core_full = core
+
+        def core(variables, h, v, i, d, pos):
+            return tiled_forward_device(core_full, variables,
+                                        (h, v, i, d), tiled, halo, pos=pos)
+
     if u8:
         import jax.numpy as jnp
         from .ops.shift import shift_lf
 
-        def fwd(variables, h, v, i, d, shift):
+        def fwd(variables, h, v, i, d, *rest):
+            # rest = (pos, shift) when tiled else (shift,)
+            shift = rest[-1]
             h, v, i, d = (x.astype(jnp.float32) / 255.0
                           for x in (h, v, i, d))
+            # the re-centering shift rolls the whole canvas BEFORE tiling
+            # (the halo absorbs the wrap except at the true image border,
+            # the same boundary class the margin mask already excludes)
             h, v, i, d = shift_lf(h, v, i, d, shift)
-            return core(variables, h, v, i, d)
+            return core(variables, h, v, i, d, *rest[:-1])
     else:
         fwd = core
 
@@ -117,6 +145,17 @@ def build_inference(output_dir: str, val_ensamble: bool = False,
             'val_disp_min': val_disp_min, 'val_disp_max': val_disp_max,
             'val_disp_step': val_disp_step, 'members': members,
             'views': cfg.model_views, 'u8': u8}
+    if tiled:
+        # the serving side needs the spatial-dim index per output key to
+        # crop canvas-stitched buffers back to the true scene size
+        from .validate.tiling import probe_sdim
+        import jax.numpy as jnp
+        cs = max(2, -(-(tiled + 2 * halo) // tiled)) * tiled
+        dummy = [jax.ShapeDtypeStruct((1, cfg.model_views, cs, cs, 3),
+                                      jnp.float32)] * 4
+        sdim = probe_sdim(core_full, variables, dummy, tiled, halo)
+        meta.update(tiled=tiled, halo=halo,
+                    sdim={k: v for k, v in sdim.items() if v is not None})
     if val_ensamble:
         # /healthz surfaces this: an ensemble whose logvar calibration was
         # never checked is a known silent-failure surface (calibrate.py)
@@ -135,30 +174,52 @@ def export_inference(output_dir: str, height: int, width: int,
                      val_disp_min: float = -3.5, val_disp_max: float = 3.5,
                      val_disp_step: float = 0.1, members: bool = False,
                      platforms=('tpu', 'cpu'), batch: int = 1,
-                     u8: bool = False, calibration: dict | None = None
-                     ) -> bytes:
+                     u8: bool = False, calibration: dict | None = None,
+                     tiled: int = 0) -> bytes:
     """Serialize the full inference program for ``(batch, views, H, W, 3)``
     scenes into a self-contained artifact (weights + StableHLO + meta).
 
     ``u8=True`` artifacts ingest raw uint8 views plus a trailing f32
     ``shift`` scalar (see ``build_inference``).  ``calibration`` is the
     validate CLI's ``--val_save_calibration`` payload (report into meta,
-    member offsets baked into the ensemble program)."""
+    member offsets baked into the ensemble program).
+
+    ``tiled > 0`` exports the SHAPE-POLYMORPHIC tiled program instead:
+    the stacks are lowered with symbolic canvas dims ``(tiled*s1,
+    tiled*s2)`` plus an ``(s1*s2, 6)`` tile-position table, so one
+    artifact serves any scene shape — the loader refines the StableHLO to
+    the concrete canvas at call time (``height``/``width`` are ignored,
+    ``batch`` must be 1)."""
+    if tiled and batch != 1:
+        raise ValueError('tiled export supports batch=1 only (scenes of '
+                         'different shapes cannot batch anyway)')
     fwd, variables, meta = build_inference(
         output_dir, val_ensamble, val_disp_min, val_disp_max, val_disp_step,
-        members, u8=u8, calibration=calibration)
+        members, u8=u8, calibration=calibration, tiled=tiled)
     n = meta['views']
-    stack = jax.ShapeDtypeStruct((batch, n, height, width, 3),
-                                 np.uint8 if u8 else np.float32)
     var_shapes = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables)
-    extra = (jax.ShapeDtypeStruct((), np.float32),) if u8 else ()
+    if tiled:
+        # minimum canvas: the halo window must fit (s*tiled >= tiled+2*halo)
+        smin = max(2, -(-(tiled + 2 * meta['halo']) // tiled))
+        s1, s2 = jex.symbolic_shape(
+            's1, s2', constraints=[f's1 >= {smin}', f's2 >= {smin}'])
+        stack = jax.ShapeDtypeStruct((1, n, tiled * s1, tiled * s2, 3),
+                                     np.uint8 if u8 else np.float32)
+        extra = (jax.ShapeDtypeStruct((s1 * s2, 6), np.int32),)
+    else:
+        stack = jax.ShapeDtypeStruct((batch, n, height, width, 3),
+                                     np.uint8 if u8 else np.float32)
+        extra = ()
+    if u8:
+        extra = extra + (jax.ShapeDtypeStruct((), np.float32),)
     exported = jex.export(jax.jit(fwd), platforms=list(platforms))(
         var_shapes, stack, stack, stack, stack, *extra)
 
     from flax import serialization
-    meta = dict(meta, height=height, width=width, batch=batch,
-                platforms=list(platforms))
+    meta = dict(meta, batch=1 if tiled else batch,
+                platforms=list(platforms),
+                **({} if tiled else {'height': height, 'width': width}))
     meta_b = json.dumps(meta).encode()
     var_b = serialization.msgpack_serialize(
         jax.tree_util.tree_map(np.asarray, variables))
@@ -222,6 +283,13 @@ def load_exported(path_or_bytes):
                    '--val_save_calibration: the guard scores land in the '
                    'artifact meta (served via /healthz) and fitted member '
                    'offsets are baked into the ensemble program')
+@click.option('--tiled', default=0, type=int,
+              help='Shape-polymorphic export: tile the scene with this '
+                   'interior tile size over a symbolic canvas, so ONE '
+                   'artifact serves any scene shape (--height/--width are '
+                   'ignored; exact wherever the halo covers the receptive '
+                   'field — the non-ensemble heads everywhere, the '
+                   'ensemble up to the margin-masked border band)')
 @click.option('--platforms', default='tpu,cpu',
               help='Comma-separated lowering platforms')
 @click.option('--jax_cache', default='', envvar='MMLF_JAX_CACHE',
@@ -229,7 +297,7 @@ def load_exported(path_or_bytes):
                    'also via $MMLF_JAX_CACHE')
 def main(output_dir, artifact, height, width, batch, val_ensamble,
          val_disp_min, val_disp_max, val_disp_step, members, u8,
-         calibration, platforms, jax_cache):
+         calibration, tiled, platforms, jax_cache):
     """Export a checkpoint's inference program as a serving artifact."""
     if jax_cache:
         from .utils.jaxcache import enable_compilation_cache
@@ -245,13 +313,15 @@ def main(output_dir, artifact, height, width, batch, val_ensamble,
             val_disp_step=val_disp_step, members=members, u8=u8,
             platforms=tuple(p.strip() for p in platforms.split(',')
                             if p.strip()),
-            batch=batch, calibration=cal)
+            batch=batch, calibration=cal, tiled=tiled)
     except ValueError as e:
         raise click.UsageError(str(e))
     with open(artifact, 'wb') as f:
         f.write(blob)
+    shape = (f'any shape, tile {tiled}' if tiled
+             else f'{height}x{width}')
     print(f'wrote {artifact} ({len(blob) / 1e6:.1f} MB, '
-          f'{height}x{width}, platforms={platforms})')
+          f'{shape}, platforms={platforms})')
 
 
 if __name__ == '__main__':

@@ -87,7 +87,12 @@ class InferenceEngine:
         else:
             from .export import load_exported
             self._call, self.meta = load_exported(model_path)
-            self.fixed_shape = (self.meta['height'], self.meta['width'])
+            if self.meta.get('tiled'):
+                # shape-polymorphic artifact: any scene shape; the canvas
+                # pad + tile-position table are built per request
+                self.fixed_shape = None
+            else:
+                self.fixed_shape = (self.meta['height'], self.meta['width'])
             self.fixed_batch = int(self.meta.get('batch', 1))
             if u8 and not self.meta.get('u8', False):
                 # --u8 cannot retrofit a compiled fp32 artifact; failing
@@ -99,12 +104,45 @@ class InferenceEngine:
         # u8 ingest: raw uint8 stacks + a trailing f32 shift scalar; the
         # device normalizes and re-centers (export.py build_inference)
         self.u8 = bool(self.meta.get('u8', False))
+        self.tiled = int(self.meta.get('tiled', 0))
+        self.halo = int(self.meta.get('halo', 0))
+        self.sdim = self.meta.get('sdim', {})
         self.views = int(self.meta.get(
             'views', self.meta['config']['model_views']))
 
+    def _tile_args(self, stacks, ht: int, wt: int):
+        """Canvas-pad the stacks and append the tile-position table for a
+        shape-polymorphic (tiled) artifact (export.py ``--tiled``)."""
+        from .validate.tiling import tile_positions
+        t = self.tiled
+        win = t + 2 * self.halo
+        if ht < win or wt < win:
+            raise ValueError(
+                f'scene {ht}x{wt} is smaller than the tile window {win} '
+                f'(tile {t} + 2x halo {self.halo}); use a fixed-shape '
+                f'artifact for scenes this small')
+        hc, wc = -(-ht // t) * t, -(-wt // t) * t
+        # the symbolic canvas requires at least the window per axis
+        smin = max(2, -(-win // t)) * t
+        hc, wc = max(hc, smin), max(wc, smin)
+        stacks = [np.pad(a, ((0, 0), (0, 0), (0, hc - ht), (0, wc - wt),
+                             (0, 0))) for a in stacks]
+        pos = tile_positions(ht, wt, t, self.halo,
+                             pad_to=(hc // t) * (wc // t))
+        return stacks + [pos.astype(np.int32)]
+
+    def _crop(self, arr, n: int, key: str, ht: int, wt: int):
+        """Batch-trim + (for tiled artifacts) canvas-crop one output."""
+        arr = np.asarray(arr)[:n]
+        if self.tiled:
+            d = int(self.sdim.get(key, 1))
+            idx = (slice(None),) * d + (slice(0, ht), slice(0, wt))
+            arr = arr[idx]
+        return arr
+
     def warmup(self, size: int = 0):
         """Compile before the first request: at the artifact's shape, or at
-        ``size``² for checkpoint-dir mode (0 = skip; checkpoint mode
+        ``size``² for checkpoint-dir/tiled mode (0 = skip; checkpoint mode
         compiles per scene shape on first use anyway)."""
         if self.fixed_shape:
             h, w = self.fixed_shape
@@ -114,7 +152,11 @@ class InferenceEngine:
             return None
         z = np.zeros((self.fixed_batch or 1, self.views, h, w, 3),
                      np.uint8 if self.u8 else np.float32)
-        args = (z, z, z, z) + ((np.float32(0.0),) if self.u8 else ())
+        args = [z, z, z, z]
+        if self.tiled:
+            args = self._tile_args(args, h, w)
+        if self.u8:
+            args.append(np.float32(0.0))
         out = self._call(*args)
         np.asarray(out['mean'])
         return h, w
@@ -195,15 +237,19 @@ class InferenceEngine:
             return arr
 
         args = [batch_stack(j) for j in range(4)]
+        ht, wt = spatial
+        if self.tiled:
+            args = self._tile_args(args, ht, wt)
         if self.u8:
             args.append(np.float32(shift))
         t0 = time.time()
         with self.lock:
             out = self._call(*args)
-            mean = np.asarray(out['mean'])[:n]
+            mean = self._crop(out['mean'], n, 'mean', ht, wt)
         runtime = time.time() - t0
         logvar = out.get('logvar')
-        logvar = None if logvar is None else np.asarray(logvar)[:n]
+        logvar = None if logvar is None else self._crop(logvar, n, 'logvar',
+                                                        ht, wt)
 
         resps = []
         for k, (sd, sample) in enumerate(zip(scene_dirs, samples)):

@@ -236,3 +236,39 @@ def test_export_calibration_requires_ensemble(ckpt):
     with pytest.raises(ValueError, match='only apply to an ensemble'):
         export_inference(ckpt, 32, 32, platforms=('cpu',),
                          calibration={'member_offsets': [1.0] * 7})
+
+
+def test_export_tiled_shape_polymorphic(ckpt, tmp_path):
+    """--tiled: ONE symbolic-canvas artifact serves multiple scene shapes,
+    matching the full-scene forward (VERDICT r3 item 4)."""
+    from mmlf_tpu.validate.tiling import tile_positions
+
+    blob = export_inference(ckpt, 0, 0, platforms=('cpu',), tiled=32)
+    fn, meta = load_exported(blob)
+    assert meta['tiled'] == 32 and 'height' not in meta
+    halo = meta['halo']
+    assert meta['sdim']['mean'] == 1
+
+    fwd, variables, _ = build_inference(ckpt)
+    full = jax.jit(fwd)
+
+    for (ht, wt) in [(64, 64), (96, 64)]:
+        stacks = [s[:, :, :ht, :wt] for s in _stacks(96, seed=3)]
+        hc, wc = -(-ht // 32) * 32, -(-wt // 32) * 32
+        smin = max(2, -(-(32 + 2 * halo) // 32)) * 32
+        hc, wc = max(hc, smin), max(wc, smin)
+        padded = [np.pad(s, ((0, 0), (0, 0), (0, hc - ht), (0, wc - wt),
+                             (0, 0))) for s in stacks]
+        pos = tile_positions(ht, wt, 32, halo,
+                             pad_to=(hc // 32) * (wc // 32))
+        out = fn(*padded, pos.astype(np.int32))
+        ref = full(variables, *stacks)
+        np.testing.assert_allclose(
+            np.asarray(out['mean'])[:, :ht, :wt],
+            np.asarray(ref['mean']), atol=2e-5,
+            err_msg=f'{ht}x{wt}')
+
+
+def test_export_tiled_batch_guard(ckpt):
+    with pytest.raises(ValueError, match='batch=1 only'):
+        export_inference(ckpt, 0, 0, platforms=('cpu',), tiled=32, batch=2)

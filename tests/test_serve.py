@@ -253,3 +253,38 @@ def test_nonloopback_requires_data_root(env):
     # engine builds, then we fail fast on a bad port bind)
     res = CliRunner().invoke(main, [ckpt, '--port', '-1', '--no_warmup'])
     assert 'data_root is required' not in str(res.output)
+
+
+def test_tiled_artifact_serves_multiple_shapes(env, tmp_path):
+    """A --tiled artifact accepts scenes of ANY shape through the server
+    and matches the fixed-shape artifact's output (VERDICT r3 item 4)."""
+    from mmlf_tpu.data.synth import generate_dataset as gen
+    from mmlf_tpu.export import export_inference
+
+    root, ckpt, scene = env
+    data96 = str(root / 'data96')
+    gen(data96, scenes=1, size=96, seed=3)
+    scene96 = os.path.join(data96, sorted(os.listdir(data96))[0])
+
+    art = str(tmp_path / 'tiled.mmlf')
+    with open(art, 'wb') as f:
+        f.write(export_inference(ckpt, 0, 0, platforms=('cpu',), tiled=32))
+    engine = InferenceEngine(art)
+    assert engine.fixed_shape is None and engine.tiled == 32
+
+    r64 = engine.infer(scene_dir=scene, out_dir=str(tmp_path / 'o64'))
+    r96 = engine.infer(scene_dir=scene96, out_dir=str(tmp_path / 'o96'))
+    assert r64['shape'] == [64, 64] and r96['shape'] == [96, 96]
+
+    # cross-check the 64² result against the fixed-shape artifact
+    art64 = str(tmp_path / 'fixed.mmlf')
+    with open(art64, 'wb') as f:
+        f.write(export_inference(ckpt, 64, 64, platforms=('cpu',)))
+    fixed = InferenceEngine(art64)
+    rf = fixed.infer(scene_dir=scene)
+    assert r64['mse'] == pytest.approx(rf['mse'], abs=1e-6)
+
+    # scenes smaller than the tile window get a clear error
+    with pytest.raises(ValueError, match='smaller than the tile window'):
+        engine._tile_args([np.zeros((1, 9, 32, 32, 3), np.float32)] * 4,
+                          32, 32)
