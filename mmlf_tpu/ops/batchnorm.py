@@ -26,11 +26,56 @@ Matches the reference's torch BatchNorm2d behaviour
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _bn_apply(x, mean, rstd, scale, bias, n):
+    """Training-mode normalize as one per-channel affine, with the
+    CANONICAL two-reduction BatchNorm backward.
+
+    JAX AD through ``mean``/``var``-of-x produces more reduction passes
+    over the (B, H, W, C) activations than the textbook fused-BN
+    backward needs; on a bandwidth-bound v5e trunk those passes are the
+    bulk of train-BN's cost (docs/STATUS.md "where the chs=70 step
+    goes").  This VJP computes the full dx in one fused reduction pass
+    (``Σdy`` and ``Σdy·x`` read dy/x once) plus one elementwise pass —
+    ``mean``/``rstd`` receive ZERO cotangents because their dependence
+    on x is already folded into dx (the standard fused-BN identity).
+    """
+    s = scale * rstd
+    t = bias - mean * s
+    return x * s.astype(x.dtype) + t.astype(x.dtype)
+
+
+def _bn_apply_fwd(x, mean, rstd, scale, bias, n):
+    y = _bn_apply(x, mean, rstd, scale, bias, n)
+    return y, (x, mean, rstd, scale)
+
+
+def _bn_apply_bwd(n, res, dy):
+    x, mean, rstd, scale = res
+    axes = tuple(range(x.ndim - 1))
+    # one fused pass: both reductions read (dy, x) once, fp32 accumulation
+    sum_dy = jnp.sum(dy, axis=axes, dtype=jnp.float32)
+    sum_dy_x = jnp.sum(dy.astype(jnp.float32) * x.astype(jnp.float32),
+                       axis=axes)
+    dbeta = sum_dy
+    dgamma = rstd * (sum_dy_x - mean * sum_dy)
+    k = (scale * rstd).astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * rstd
+    dx = k * (dy.astype(jnp.float32) - sum_dy / n - xhat * (dgamma / n))
+    return (dx.astype(x.dtype), jnp.zeros_like(mean), jnp.zeros_like(rstd),
+            dgamma, dbeta)
+
+
+_bn_apply.defvjp(_bn_apply_fwd, _bn_apply_bwd)
 
 
 class FusedBatchNorm(nn.Module):
@@ -56,19 +101,26 @@ class FusedBatchNorm(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            # biased batch variance, flax-style mean(x²) - mean²
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - \
-                jnp.square(mean)
-            if not self.is_initializing():
-                m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * \
-                    jax.lax.stop_gradient(mean)
-                ra_var.value = m * ra_var.value + (1.0 - m) * \
-                    jax.lax.stop_gradient(var)
+            s = scale * jax.lax.rsqrt(var + self.epsilon)
+            t = bias - mean * s
+            return x * s.astype(x.dtype) + t.astype(x.dtype)
 
-        s = scale * jax.lax.rsqrt(var + self.epsilon)
-        t = bias - mean * s
-        return x * s.astype(x.dtype) + t.astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        # biased batch variance, flax-style mean(x²) - mean²
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - \
+            jnp.square(mean)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * \
+                jax.lax.stop_gradient(mean)
+            ra_var.value = m * ra_var.value + (1.0 - m) * \
+                jax.lax.stop_gradient(var)
+
+        # stats enter the normalize through stop_gradient: their x-path
+        # is folded into _bn_apply's canonical dx (zero cotangents there
+        # keep the combination exact, not double-counted)
+        n = float(np.prod(x.shape[:-1]))
+        rstd = jax.lax.rsqrt(jax.lax.stop_gradient(var) + self.epsilon)
+        return _bn_apply(x, jax.lax.stop_gradient(mean), rstd, scale,
+                         bias, n)
