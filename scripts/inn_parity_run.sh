@@ -1,0 +1,39 @@
+#!/bin/bash
+# Train the working INN (--model_inn, the live TPU-native implementation
+# of the reference's dead invertible path) on the parity dataset with the
+# README recipe, then run the full validate CLI — its 108-cluster
+# posterior feeds the same KLD/NLL chain as DPP (VERDICT r3 item 5: the
+# "working INN" claim becomes a measured parity-table row).
+#
+# The INN's step time is unknown a priori; INN_STEPS caps the run (a
+# shortened run is recorded as such in docs/STATUS.md).
+set -euo pipefail
+
+ROOT=${PARITY_ROOT:-/tmp/parity}
+STEPS=${INN_STEPS:-2000}
+DATA=$ROOT/data
+out=$ROOT/inn70
+
+RECIPE="--train_trainset=$DATA/train --train_valset=$DATA/val
+        --train_shift=2.5 --train_lr=1e-3 --train_bs=512 --train_accum=8
+        --train_ps=96 --train_warm_start --bf16 --cache_bf16
+        --train_steps=$STEPS --val_interval=250 --train_nan_guard"
+
+if [ ! -f "$out/DONE" ]; then
+    mkdir -p "$out"
+    echo "== training inn ($(date -u +%H:%M:%S))"
+    # hard wall bound: on SIGTERM the loop checkpoints the current step
+    # and exits cleanly (train_term_checkpoint), so a slow INN still
+    # yields an evaluable checkpoint with its step count in train.log
+    # shellcheck disable=SC2086
+    timeout "${INN_WALL:-5400}" \
+        python -m mmlf_tpu.train.cli "$out" $RECIPE --model_inn \
+        > "$out/train.log" 2>&1 || echo "train exited $? (wall bound?)"
+    touch "$out/DONE"
+fi
+
+echo "== validating inn ($(date -u +%H:%M:%S))"
+python -m mmlf_tpu.validate.cli "$out" "$DATA/val" --train_shift=2.5 \
+    > "$ROOT/val_inn70.log" 2>&1
+tail -4 "$ROOT/val_inn70.log"
+echo "== inn complete ($(date -u +%H:%M:%S))"
