@@ -28,11 +28,15 @@ RECIPE="--train_trainset=$DATA/train --train_valset=$DATA/val
 
 if [ ! -f "$out/DONE" ]; then
     mkdir -p "$out"
-    echo "== training $name anchor=$W warmup=$WARMUP ($(date -u +%H:%M:%S))"
+    # a SIGTERM-bounded earlier attempt leaves checkpoint.msgpack but no
+    # DONE — resume it instead of restarting
+    RESUME=""
+    [ -f "$out/checkpoint.msgpack" ] && RESUME="--train_resume"
+    echo "== training $name anchor=$W warmup=$WARMUP resume=${RESUME:-no} ($(date -u +%H:%M:%S))"
     # shellcheck disable=SC2086
     python -m mmlf_tpu.train.cli "$out" $RECIPE --model_uncert \
         --model_chs="$CHS" --train_logvar_anchor="$W" \
-        --train_logvar_warmup="$WARMUP" > "$out/train.log" 2>&1
+        --train_logvar_warmup="$WARMUP" $RESUME >> "$out/train.log" 2>&1
     touch "$out/DONE"
 fi
 

@@ -30,10 +30,14 @@ fi
 
 if [ ! -f "$out/DONE" ]; then
     mkdir -p "$out"
-    echo "== training $name ($(date -u +%H:%M:%S))"
+    # a SIGTERM-bounded earlier attempt leaves checkpoint.msgpack but no
+    # DONE — resume it instead of restarting
+    RESUME=""
+    [ -f "$out/checkpoint.msgpack" ] && RESUME="--train_resume"
+    echo "== training $name resume=${RESUME:-no} ($(date -u +%H:%M:%S))"
     # shellcheck disable=SC2086
-    python -m mmlf_tpu.train.cli "$out" $RECIPE $EXTRA \
-        > "$out/train.log" 2>&1
+    python -m mmlf_tpu.train.cli "$out" $RECIPE $EXTRA $RESUME \
+        >> "$out/train.log" 2>&1
     touch "$out/DONE"
 fi
 

@@ -21,14 +21,18 @@ RECIPE="--train_trainset=$DATA/train --train_valset=$DATA/val
 
 if [ ! -f "$out/DONE" ]; then
     mkdir -p "$out"
-    echo "== training inn ($(date -u +%H:%M:%S))"
+    # a SIGTERM-bounded earlier attempt leaves checkpoint.msgpack but no
+    # DONE — resume it instead of restarting
+    RESUME=""
+    [ -f "$out/checkpoint.msgpack" ] && RESUME="--train_resume"
+    echo "== training inn resume=${RESUME:-no} ($(date -u +%H:%M:%S))"
     # hard wall bound: on SIGTERM the loop checkpoints the current step
     # and exits cleanly (train_term_checkpoint), so a slow INN still
     # yields an evaluable checkpoint with its step count in train.log
     # shellcheck disable=SC2086
     timeout "${INN_WALL:-5400}" \
-        python -m mmlf_tpu.train.cli "$out" $RECIPE --model_inn \
-        > "$out/train.log" 2>&1 || echo "train exited $? (wall bound?)"
+        python -m mmlf_tpu.train.cli "$out" $RECIPE --model_inn $RESUME \
+        >> "$out/train.log" 2>&1 || echo "train exited $? (wall bound?)"
     touch "$out/DONE"
 fi
 
