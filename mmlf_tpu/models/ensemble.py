@@ -142,9 +142,12 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
     shifts_p[:k] = shifts
     valid_p = np.zeros(kp, np.float32)
     valid_p[:k] = 1.0
-    offs_p = np.zeros(kp, np.float32)
+    # offsets may be a TRACED array (the validate CLI threads them through
+    # the jitted scene program so fit + recalibrated eval share a compile)
+    offs_p = jnp.zeros(kp, jnp.float32)
     if member_offsets is not None:
-        offs_p[:k] = np.asarray(member_offsets, np.float32)
+        offs_p = offs_p.at[:k].set(
+            jnp.asarray(member_offsets, jnp.float32))
     bins = bin_centers(disp_min, disp_max, k)
 
     b, _, hh, ww, _ = h_views.shape
@@ -196,7 +199,7 @@ def ensemble_forward_sharded(apply_fn, variables, h_views, v_views,
         in_specs=(spec_m, spec_m, spec_m, rep, rep, rep, rep, rep),
         out_specs=(rep,) * n_out, check_vma=False)
     outs = shard(jnp.asarray(shifts_p), jnp.asarray(valid_p),
-                 jnp.asarray(offs_p), h_views, v_views, i_views, d_views,
+                 offs_p, h_views, v_views, i_views, d_views,
                  variables)
     if need_members:
         best_mean, best_lv, means, logvars, posterior = outs

@@ -216,10 +216,14 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
             # gradient accumulation: global batch as `accum` sequential
             # microbatches in ONE program (lax.scan) — this is how the
             # reference's bs=512 README recipe fits one chip.  Chunk
-            # losses/grads are averaged (exact when per-chunk mask counts
-            # match, i.e. away from masked scene borders); BatchNorm batch
-            # stats come from chunk 0, matching torch DataParallel where
-            # only replica 0's (microbatch-sized) buffer updates survive.
+            # losses/grads are averaged — exact when per-chunk mask counts
+            # match, which the README recipe MEASURES as exactly true on
+            # the parity dataset (deviation 0.0; adversarially unequal
+            # masks reach rel-grad 0.17 with cos >= 0.985 —
+            # scripts/accum_mean_probe.py, docs/STATUS.md round 5);
+            # BatchNorm batch stats come from chunk 0, matching torch
+            # DataParallel where only replica 0's (microbatch-sized)
+            # buffer updates survive.
             chunks = jax.tree_util.tree_map(
                 lambda x: x.reshape((accum, -1) + x.shape[1:]), batch)
 
@@ -598,6 +602,14 @@ def train(cfg: Config, output_dir: str,
                       f'with --train_resume)', file=sys.stderr)
                 break
             if cfg.train_steps and i >= cfg.train_steps:
+                # persist the COMPLETED state: the rolling val-interval save
+                # above stamps pre-increment at the last boundary BEFORE
+                # train_steps, so without this a bounded run's final
+                # (train_steps - 1 - last_boundary) steps were never
+                # checkpointed.  Post-increment stamp == train_steps marks
+                # the run complete (scripts/ckpt_step.py keys off it to
+                # stamp arm DONE files — VERDICT r4 weak #2).
+                save_rolling_checkpoint()
                 break
         while pending:
             emit_row(pending.popleft())

@@ -33,11 +33,22 @@ if [ ! -f "$out/DONE" ]; then
     RESUME=""
     [ -f "$out/checkpoint.msgpack" ] && RESUME="--train_resume"
     echo "== training $name anchor=$W warmup=$WARMUP resume=${RESUME:-no} ($(date -u +%H:%M:%S))"
+    # run-boundary marker IN the appended log so step greps can't silently
+    # span attempts (ADVICE r4)
+    echo "=== attempt $(date -u +%FT%TZ) resume=${RESUME:-no} ===" \
+        >> "$out/train.log"
     # shellcheck disable=SC2086
     python -m mmlf_tpu.train.cli "$out" $RECIPE --model_uncert \
         --model_chs="$CHS" --train_logvar_anchor="$W" \
-        --train_logvar_warmup="$WARMUP" $RESUME >> "$out/train.log" 2>&1
-    touch "$out/DONE"
+        --train_logvar_warmup="$WARMUP" $RESUME >> "$out/train.log" 2>&1 \
+        || echo "== train exited $? (wall bound?)"
+    # DONE only on PROVEN completion: the SIGTERM checkpoint path returns
+    # rc 0, so "the trainer returned" is not evidence (VERDICT r4 weak #2)
+    if python scripts/ckpt_step.py "$out" --steps "$STEPS"; then
+        touch "$out/DONE"
+    else
+        echo "== $name wall-bounded — left resumable (no DONE)"
+    fi
 fi
 
 echo "== validating upr_$name ($(date -u +%H:%M:%S))"

@@ -26,14 +26,25 @@ if [ ! -f "$out/DONE" ]; then
     RESUME=""
     [ -f "$out/checkpoint.msgpack" ] && RESUME="--train_resume"
     echo "== training inn resume=${RESUME:-no} ($(date -u +%H:%M:%S))"
+    echo "=== attempt $(date -u +%FT%TZ) resume=${RESUME:-no} ===" \
+        >> "$out/train.log"
     # hard wall bound: on SIGTERM the loop checkpoints the current step
     # and exits cleanly (train_term_checkpoint), so a slow INN still
     # yields an evaluable checkpoint with its step count in train.log
     # shellcheck disable=SC2086
-    timeout "${INN_WALL:-5400}" \
+    timeout -s TERM "${INN_WALL:-5400}" \
         python -m mmlf_tpu.train.cli "$out" $RECIPE --model_inn $RESUME \
         >> "$out/train.log" 2>&1 || echo "train exited $? (wall bound?)"
-    touch "$out/DONE"
+    # DONE only on PROVEN completion — the internal-timeout attempt exits
+    # 124 but even a clean rc is not evidence (SIGTERM checkpoint path
+    # returns 0); an incomplete run stays resumable and the validate below
+    # still evaluates its checkpoint (recorded as shortened in STATUS)
+    # — ADVICE r4 medium, VERDICT r4 weak #2
+    if python scripts/ckpt_step.py "$out" --steps "$STEPS"; then
+        touch "$out/DONE"
+    else
+        echo "== inn wall-bounded — left resumable (no DONE)"
+    fi
 fi
 
 echo "== validating inn ($(date -u +%H:%M:%S))"

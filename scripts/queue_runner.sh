@@ -5,26 +5,42 @@
 # runner.  Jobs are $QDIR/NNN-name.sh files executed in lexical order;
 # finished jobs move to $QDIR/done with their log in $QDIR/logs.
 # Append jobs at any time (write to a tmp name, then mv — the runner must
-# never pick up a half-written file).  Touch $QDIR/STOP to exit once the
-# queue drains; rm a queued file to cancel it.
+# never pick up a half-written file); rm a queued file to cancel it.
+#
+# Stopping (MANDATORY as part of every session wrap-up — a job left
+# holding the chip blocks the driver's end-of-round bench, VERDICT r4):
+#   bash scripts/queue_stop.sh          finish current job, defer the rest
+#   bash scripts/queue_stop.sh --kill   also TERM the running job tree
+#                                       (trainers checkpoint + resume)
+# Touching $QDIR/STOP directly stops the runner before it picks another
+# job (and, legacy semantics, once the queue drains).
 set -u
 QDIR=${QDIR:-/tmp/q}
 mkdir -p "$QDIR/done" "$QDIR/logs"
 cd /root/repo
 export MMLF_JAX_CACHE=${MMLF_JAX_CACHE:-/tmp/mmlf_jax_cache}
+echo $$ > "$QDIR/runner.pid"
 
 while true; do
+    if [ -f "$QDIR/STOP" ]; then
+        echo "== STOP set, exiting $(date -u +%F\ %H:%M:%S)" \
+            >> "$QDIR/queue.log"
+        exit 0
+    fi
     job=$(ls "$QDIR"/*.sh 2>/dev/null | sort | head -1)
     if [ -z "$job" ]; then
-        [ -f "$QDIR/STOP" ] && { echo "== queue drained, stopping" \
-            >> "$QDIR/queue.log"; exit 0; }
         sleep 20
         continue
     fi
     name=$(basename "$job" .sh)
     echo "== start $name $(date -u +%F\ %H:%M:%S)" >> "$QDIR/queue.log"
-    bash "$job" > "$QDIR/logs/$name.log" 2>&1
+    # own process group so queue_stop.sh --kill can TERM the whole tree
+    setsid bash "$job" > "$QDIR/logs/$name.log" 2>&1 &
+    echo $! > "$QDIR/current.pid"
+    echo "$name" > "$QDIR/current.job"
+    wait $!
     rc=$?
+    rm -f "$QDIR/current.pid" "$QDIR/current.job"
     echo "== done  $name rc=$rc $(date -u +%F\ %H:%M:%S)" >> "$QDIR/queue.log"
     mv "$job" "$QDIR/done/$name.sh"
 done

@@ -103,6 +103,71 @@ def test_acquire_devices_deadline(bench, monkeypatch):
     assert calls['n'] >= 1
 
 
+def test_watchdog_emits_stale_within_budget(bench, tmp_path, monkeypatch):
+    """VERDICT r4 missing #1: a slow-but-running bench under an external
+    timeout must still land a JSON line — the internal budget watchdog
+    replays the cache (marked stale) and exits before the driver's kill."""
+    import time
+    cache = {'pps': 100.0, 'pps_sync': 90.0, 'pps70': 80.0,
+             'pps512': 110.0, 'measured_at': '2026-08-20T09:30:00Z'}
+    cache_path = tmp_path / 'cache.json'
+    cache_path.write_text(json.dumps(cache))
+    monkeypatch.setattr(bench, 'CACHE_PATH', str(cache_path))
+    monkeypatch.setattr(bench, 'BUDGET_S', 0.1)
+    exited = {}
+    monkeypatch.setattr(bench.os, '_exit', lambda c: exited.update(code=c))
+
+    def run():
+        t = bench._arm_watchdog(time.time())
+        t.join(5.0)
+
+    text = _capture_stdout(run)
+    lines = [l for l in text.strip().splitlines() if l]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec['stale'] is True and 'budget' in rec['stale_reason']
+    assert rec['value'] == 100.0 and REQUIRED_KEYS <= set(rec)
+    assert exited.get('code') == 0
+
+
+def test_watchdog_cancelled_by_emission(bench, monkeypatch):
+    """Once the real record is emitted, the watchdog must do nothing."""
+    import time
+    monkeypatch.setattr(bench, 'BUDGET_S', 0.1)
+    exited = {}
+    monkeypatch.setattr(bench.os, '_exit', lambda c: exited.update(code=c))
+
+    def run():
+        t = bench._arm_watchdog(time.time())
+        assert bench._emit_once(
+            lambda: bench.emit(506.3, 418.8, 376.4, 507.4))
+        t.join(5.0)
+
+    text = _capture_stdout(run)
+    lines = [l for l in text.strip().splitlines() if l]
+    assert len(lines) == 1, 'watchdog must not double-emit'
+    assert 'stale' not in json.loads(lines[0])
+    assert 'code' not in exited
+
+
+def test_emit_once_is_single_shot(bench):
+    text = _capture_stdout(lambda: (
+        bench._emit_once(lambda: bench.emit(506.3, 418.8, 376.4, 507.4)),
+        bench._emit_once(lambda: bench.emit(1.0, 1.0, 1.0, 1.0))))
+    lines = [l for l in text.strip().splitlines() if l]
+    assert len(lines) == 1, 'driver contract: exactly ONE stdout line'
+    assert json.loads(lines[0])['value'] == 506.3
+
+
+def test_write_cache_trailing_newline(bench, tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, 'CACHE_PATH', str(tmp_path / 'c.json'))
+    bench._write_cache({'pps': 1.0, 'pps_sync': 1.0, 'pps70': 1.0,
+                        'pps512': 1.0, 'splits': None})
+    raw = (tmp_path / 'c.json').read_text()
+    assert raw.endswith('\n')
+    assert 'measured_at' in json.loads(raw)
+
+
 def test_emit_new_round4_fields(bench):
     splits = {'split_ms': {'fwd_bwd': 263.0, 'fwd': 92.2,
                            'gather_augment': 91.4, 'adam': 41.1},

@@ -127,10 +127,13 @@ def test_resume_restores_step_and_params(data_dirs, tmp_path):
     state2 = train(cfg2, out, progress=False)
     assert int(state2.step) == 5
 
-    # resumed log appended, not truncated
+    # resumed log appended, not truncated.  The COMPLETED first run's
+    # final state is persisted post-increment at train_steps (round-5
+    # completion save), so resuming it is replay-free: 3..4, not the old
+    # last-val-boundary replay from 2
     log = open(os.path.join(out, 'log.csv')).read().splitlines()
     iters = [int(l.split(',')[0]) for l in log[1:]]
-    assert iters == [0, 1, 2, 2, 3, 4]   # step-3 run + resumed 2..4
+    assert iters == [0, 1, 2, 3, 4]
 
 
 def test_sigterm_checkpoints_and_resumes(data_dirs, tmp_path):
@@ -245,11 +248,11 @@ def test_resume_does_not_replay_rng_stream(data_dirs, tmp_path, monkeypatch):
     out = str(tmp_path / 'rngresume')
     os.makedirs(out)
     cfg = _cfg(data_dirs, train_steps=3, train_seed=11)
-    train(cfg, out, progress=False)                  # checkpoints at i=2
+    train(cfg, out, progress=False)     # completion save stamps i=3
     cfg2 = _cfg(data_dirs, train_steps=5, train_seed=11, train_resume=True)
     train(cfg2, out, progress=False)
     assert seen[0] == 11          # fresh run: the configured seed
-    expect = int(np.random.SeedSequence([11, 2]).generate_state(1)[0])
+    expect = int(np.random.SeedSequence([11, 3]).generate_state(1)[0])
     assert seen[1] == expect      # resumed: mixed(seed, stored iteration)
     assert seen[1] != 11 + 2      # NOT additive (collision-prone)
 
