@@ -77,7 +77,11 @@ def scene_calibration(shifts: np.ndarray, means: np.ndarray,
 
     bare_mse = None
     k0 = int(np.argmin(np.abs(shifts)))
-    if abs(float(shifts[k0])) < 1e-6:
+    # "zero" up to the float32 accumulation error of the arange grid: the
+    # reference-default grid's member 35 is -3.3e-6, not 0.0, which made
+    # the bare-model check silently vanish on every default-grid run
+    # (found on the round-5 anchor arms).  1e-3 is far below any step.
+    if abs(float(shifts[k0])) < 1e-3:
         bare_mse = float(((means[k0] - gt) ** 2)[mask].mean())
     return {'rank_corr': corr, 'bare_mse': bare_mse}
 

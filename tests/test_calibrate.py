@@ -39,6 +39,21 @@ def test_scene_calibration_bare_member():
     assert s2['bare_mse'] is None
 
 
+def test_bare_member_detected_on_default_arange_grid():
+    """The reference-default grid arange(-3.5, 3.5, 0.1) carries ~3e-6 of
+    float32 accumulation error at its zero member; the bare-model check
+    must still fire (round-5 regression: it silently vanished as 'n/a')."""
+    from mmlf_tpu.models.ensemble import ensemble_grid
+    shifts = ensemble_grid(-3.5, 3.5, 0.1)
+    K = len(shifts)
+    gt = np.zeros((3, 3), np.float32)
+    means = np.tile(gt, (K, 1, 1)) + 0.2
+    logvars = np.zeros((K, 3, 3), np.float32)
+    s = C.scene_calibration(shifts, means, logvars, gt,
+                            np.ones((3, 3), bool))
+    assert s['bare_mse'] == pytest.approx(0.04, rel=1e-4)
+
+
 def test_calibration_report_warnings():
     healthy = [{'rank_corr': 0.8, 'bare_mse': 0.1}]
     rep = C.calibration_report(healthy, ese_mse=0.05)
