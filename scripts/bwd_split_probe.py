@@ -113,18 +113,18 @@ def manual_dgrad(xs, dys, w0):
     return jnp.stack(outs)
 
 
-def bench_width(C, reps=4):
+def bench_chain(C):
+    """Chain decomposition by autodiff DCE: grad wrt x keeps only the
+    dgrad column; grad wrt (ws, x) adds the wgrads."""
     dt = jnp.bfloat16
-    print(f'--- C={C} bf16, B={B}, {PS}^2, chain x{N_CONV}, '
-          f'isolated parts x{reps} ---', flush=True)
+    print(f'--- chain: C={C} bf16, B={B}, {PS}^2, x{N_CONV} convs ---',
+          flush=True)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, PS, PS, C)) * 0.1, dt)
     ws = [jnp.asarray(rng.standard_normal((2, 2, C, C)) / np.sqrt(4 * C), dt)
           for _ in range(N_CONV)]
     fl = N_CONV * B * PS * PS * 4 * C * C * 2
 
-    # chain decomposition by autodiff DCE: grad wrt x keeps only the dgrad
-    # column; grad wrt (ws, x) adds the wgrads
     t_fwd = timeit(jax.jit(chain), ws, x, name='chain fwd', flops=fl)
     t_dg = timeit(jax.jit(jax.grad(chain, argnums=1)), ws, x,
                   name='chain fwd + dgrad (wgrad DCEd)', flops=2 * fl)
@@ -133,29 +133,42 @@ def bench_width(C, reps=4):
     print(f'  => by subtraction: dgrad {t_dg - t_fwd:.2f} ms, '
           f'wgrad {t_full - t_dg:.2f} ms, fwd {t_fwd:.2f} ms', flush=True)
 
-    xs = [jnp.asarray(rng.standard_normal((B, PS, PS, C)) * 0.1, dt)
-          for _ in range(reps)]
-    # pad_of(0) totals 1 per axis for k=2 => shape-preserving: dy is (PS, PS)
-    dys = [jnp.asarray(rng.standard_normal((B, PS, PS, C)) * 0.1, dt)
-           for _ in range(reps)]
-    w0 = ws[0]
-    flp = reps * B * PS * PS * 4 * C * C * 2
 
-    # correctness first (fp32 small)
-    xs32 = [v.astype(jnp.float32) for v in xs[:1]]
-    dys32 = [v.astype(jnp.float32) for v in dys[:1]]
+def bench_isolated(C, reps=2, b=64):
+    """Isolated dgrad/wgrad formulation races at a smaller batch (the
+    full-size fp32 im2col of the first attempt materialized a 5.3 GB
+    patch tensor and OOMed the 16 GB chip — correctness now runs at a
+    tiny shape, races at B=64 x 2 reps, ~1.3 GB live)."""
+    dt = jnp.bfloat16
+    print(f'--- isolated parts: C={C} bf16, B={b}, {PS}^2, x{reps} ---',
+          flush=True)
+    rng = np.random.default_rng(1)
+
+    # correctness at a tiny shape (fp32, highest precision)
+    tx = [jnp.asarray(rng.standard_normal((2, 24, 24, C)), jnp.float32)]
+    tdy = [jnp.asarray(rng.standard_normal((2, 24, 24, C)), jnp.float32)]
+    tw = jnp.asarray(rng.standard_normal((2, 2, C, C)) / np.sqrt(4 * C),
+                     jnp.float32)
     with jax.default_matmul_precision('highest'):
-        a = jax.jit(xla_wgrad)(xs32, dys32, w0.astype(jnp.float32))
-        b = jax.jit(gemm_wgrad)(xs32, dys32, w0.astype(jnp.float32))
-        d = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        a = jax.jit(xla_wgrad)(tx, tdy, tw)
+        g = jax.jit(gemm_wgrad)(tx, tdy, tw)
+        d = float(jnp.max(jnp.abs(a - g)) / (jnp.max(jnp.abs(a)) + 1e-9))
         print(f'  gemm_wgrad vs xla_wgrad rel|delta| = {d:.2e}', flush=True)
         assert d < 1e-3
-        a = jax.jit(xla_dgrad)(xs32, dys32, w0.astype(jnp.float32))
-        b = jax.jit(manual_dgrad)(xs32, dys32, w0.astype(jnp.float32))
-        d = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        a = jax.jit(xla_dgrad)(tx, tdy, tw)
+        g = jax.jit(manual_dgrad)(tx, tdy, tw)
+        d = float(jnp.max(jnp.abs(a - g)) / (jnp.max(jnp.abs(a)) + 1e-9))
         print(f'  manual_dgrad vs xla_dgrad rel|delta| = {d:.2e}',
               flush=True)
         assert d < 1e-3
+
+    xs = [jnp.asarray(rng.standard_normal((b, PS, PS, C)) * 0.1, dt)
+          for _ in range(reps)]
+    # pad_of(0) totals 1 per axis for k=2 => shape-preserving: dy is (PS, PS)
+    dys = [jnp.asarray(rng.standard_normal((b, PS, PS, C)) * 0.1, dt)
+           for _ in range(reps)]
+    w0 = jnp.asarray(rng.standard_normal((2, 2, C, C)) / np.sqrt(4 * C), dt)
+    flp = reps * b * PS * PS * 4 * C * C * 2
 
     timeit(jax.jit(xla_wgrad), xs, dys, w0, name='isolated wgrad (XLA vjp)',
            flops=flp)
@@ -168,9 +181,15 @@ def bench_width(C, reps=4):
 
 
 def main():
+    import gc
     print(f'device: {jax.devices()[0]}', flush=True)
-    for C in (256, 280):
-        bench_width(C)
+    # the headline numbers first (both widths), then the formulation races
+    for C in (280, 256):
+        bench_chain(C)
+        gc.collect()
+    for C in (280, 256):
+        bench_isolated(C)
+        gc.collect()
 
 
 if __name__ == '__main__':

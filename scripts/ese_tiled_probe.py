@@ -21,11 +21,13 @@ Usage:  python scripts/ese_tiled_probe.py CKPT_DIR SCENE_DIR [TILE]
 """
 import json
 import os
-import shutil
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
 
 
 def load_result(ckpt: str):
