@@ -31,9 +31,11 @@ from __future__ import annotations
 
 import numpy as np
 
-# healthy round-2 checkpoint: +0.80; the two broken arms: +0.29 (shift-
-# tracking logvar) and lower (collapse).  0.5 splits the measured
-# populations with margin on both sides.
+# Measured populations (docs/STATUS.md): healthy checkpoints score +0.80
+# (round-2 parity UPR) and +0.863 (round-5 anchor arm); the broken arms
+# score +0.29 (shift-tracking logvar, ESE 80.8) and lower (outright
+# collapse, ESE 205).  0.5 splits the populations with ≥ 0.2 margin on
+# both sides; update this note whenever a new arm adds a data point.
 RANK_CORR_MIN = 0.5
 # ESE may not be worse than the bare model beyond float/selection noise
 ESE_MSE_TOL = 1.05

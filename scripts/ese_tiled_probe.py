@@ -30,16 +30,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
 
 
-def load_result(ckpt: str):
+def load_result(ckpt: str, scene_name: str):
+    # the checkpoint dir may carry scenes/ trees from earlier validate
+    # runs — read exactly this scene's artifact
     from mmlf_tpu.utils import pfm
-    hits = []
-    scenes = os.path.join(ckpt, 'scenes')
-    for d in sorted(os.listdir(scenes)):
-        p = os.path.join(scenes, d, 'result.pfm')
-        if os.path.exists(p):
-            hits.append(p)
-    assert len(hits) == 1, f'expected one result.pfm, got {hits}'
-    return np.flip(pfm.load(hits[0])[0], 0).copy()
+    p = os.path.join(ckpt, 'scenes', scene_name, 'result.pfm')
+    assert os.path.exists(p), p
+    return np.flip(pfm.load(p)[0], 0).copy()
 
 
 def delta_report(tag, a, b, margin=15):
@@ -58,6 +55,8 @@ def main():
     tile = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     work = '/tmp/parity/ese_tiled_probe'
     os.makedirs(work, exist_ok=True)
+    from mmlf_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()          # $MMLF_JAX_CACHE when set
 
     # one-scene dataset for the validate runs
     ds = os.path.join(work, 'ds')
@@ -89,15 +88,16 @@ def main():
     art_res = np.flip(pfm.load(os.path.join(work, 'art',
                                             'result.pfm'))[0], 0).copy()
 
+    sname = os.path.basename(os.path.abspath(scene))
     from mmlf_tpu.validate.cli import run_validation
     print('validate CLI --val_tile ESE...', flush=True)
     res_t = run_validation(ckpt, ds, val_ensamble=True, train_shift=2.5,
                            val_tile=tile)
-    cli_tiled = load_result(ckpt)
+    cli_tiled = load_result(ckpt, sname)
 
     print('validate CLI untiled ESE...', flush=True)
     res_u = run_validation(ckpt, ds, val_ensamble=True, train_shift=2.5)
-    cli_untiled = load_result(ckpt)
+    cli_untiled = load_result(ckpt, sname)
 
     out = {
         'artifact_mse': r.get('mse'),
