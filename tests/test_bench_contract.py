@@ -168,6 +168,23 @@ def test_write_cache_trailing_newline(bench, tmp_path, monkeypatch):
     assert 'measured_at' in json.loads(raw)
 
 
+def test_step_split_cpu_smoke(bench, tmp_path, monkeypatch):
+    """The split leg broke silently twice (r4: dataset-regen race, then a
+    64MB-readback sync artifact) — drive it end to end at a tiny config so
+    API breakage surfaces in CI, not in the next hardware bench."""
+    from mmlf_tpu.data.synth import generate_dataset
+    d = str(tmp_path / 'scenes')
+    generate_dataset(d, scenes=1, size=160, seed=0)
+    monkeypatch.setattr(bench, 'ensure_data', lambda: d)
+    split = bench.step_split({'model_chs': 6, 'model_in_blocks': 1,
+                              'model_out_blocks': 2}, 2, n=1, label='t')
+    assert set(split) == {'fwd_bwd', 'fwd', 'gather_augment', 'adam'}
+    assert all(v > 0 for v in split.values())
+    # the sync is a device-side reduction: no row may carry a multi-second
+    # readback penalty at this size (the r4 artifact was ~16,000 ms)
+    assert split['gather_augment'] < 5000
+
+
 def test_emit_new_round4_fields(bench):
     splits = {'split_ms': {'fwd_bwd': 263.0, 'fwd': 92.2,
                            'gather_augment': 91.4, 'adam': 41.1},
