@@ -83,6 +83,12 @@ class Config:
     train_accum: int = 1         # gradient-accumulation microbatches; the
     # reference's bs=512 recipe runs 64/GPU on 8 GPUs — accum=8 reproduces
     # the global batch (and DataParallel's per-replica-64 BN) on ONE chip
+    train_accum_exact: bool = False  # weight accumulation chunks by their
+    # valid-pixel counts: exactly the reference's ONE-masked-mean over the
+    # global batch even when per-chunk mask counts differ.  Off = uniform
+    # chunk averaging, measured IDENTICAL on the README recipe (counts
+    # match; deviation 0.0 — scripts/accum_mean_probe.py); the flag
+    # matters only for heavily/unevenly masked datasets
     train_profile: bool = False  # capture a jax.profiler trace early on
     train_nan_guard: bool = False  # stop if the loss goes non-finite
     train_logvar_warmup: int = 0  # ramp the uncertainty (logvar) coupling

@@ -71,6 +71,11 @@ from .loop import train
 @click.option('--train_accum', default=1,
               help='[TPU] gradient-accumulation microbatches: bs=512 as '
                    '8x64 reproduces the reference 8-GPU recipe on one chip')
+@click.option('--train_accum_exact', is_flag=True,
+              help='[TPU] count-weighted accumulation: exact global-batch '
+                   'masked-mean loss/grad under --train_accum even with '
+                   'unequal per-chunk masks (the README recipe measures '
+                   'identical either way — docs/STATUS.md round 5)')
 @click.option('--cache_bf16', is_flag=True,
               help='[TPU] bfloat16 image scene cache (halves gather traffic)')
 @click.option('--train_profile', is_flag=True,

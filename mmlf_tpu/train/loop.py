@@ -207,42 +207,77 @@ def make_train_step(cfg: Config, model: FeedForward, tx,
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        return loss, new_stats, grads
+        # valid-pixel count of this microbatch's mask — the normalizer of
+        # every (non-padding) recipe loss; consumed by train_accum_exact
+        count = jnp.sum(mask).astype(jnp.float32)
+        return loss, new_stats, grads, count
+
+    exact = bool(getattr(cfg, 'train_accum_exact', False)) and accum > 1
+    if exact:
+        # the count-weighted combination is exact only when every loss
+        # term normalizes by the SAME mask count (docs/STATUS round 5)
+        if cfg.train_loss_padding is not None:
+            raise ValueError(
+                '--train_accum_exact is incompatible with '
+                '--train_loss_padding: the in/out-of-range two-term loss '
+                'has no single mask count')
+        if cfg.model_inn:
+            raise ValueError(
+                '--train_accum_exact does not apply to the INN: its IB '
+                'loss ignores the mask, and equal-sized chunks make the '
+                'default uniform averaging already exact')
+        if (cfg.model_uncert and cfg.train_logvar_anchor > 0
+                and cfg.train_loss_multimodal):
+            raise ValueError(
+                '--train_accum_exact with a multimodal logvar anchor is '
+                'unsupported: the anchor normalizes over mask∧in-range, '
+                'a different count than the main loss')
 
     def step_fn(state: TrainState, batch, cache=None):
         if accum == 1:
-            loss, new_stats, grads = microbatch_grads(state, batch, cache)
+            loss, new_stats, grads, _ = microbatch_grads(state, batch,
+                                                         cache)
         else:
             # gradient accumulation: global batch as `accum` sequential
             # microbatches in ONE program (lax.scan) — this is how the
-            # reference's bs=512 README recipe fits one chip.  Chunk
-            # losses/grads are averaged — exact when per-chunk mask counts
-            # match, which the README recipe MEASURES as exactly true on
-            # the parity dataset (deviation 0.0; adversarially unequal
-            # masks reach rel-grad 0.17 with cos >= 0.985 —
-            # scripts/accum_mean_probe.py, docs/STATUS.md round 5);
-            # BatchNorm batch stats come from chunk 0, matching torch
-            # DataParallel where only replica 0's (microbatch-sized)
+            # reference's bs=512 README recipe fits one chip.  Default:
+            # chunk losses/grads are averaged uniformly — exact when
+            # per-chunk mask counts match, which the README recipe
+            # MEASURES as exactly true on the parity dataset (deviation
+            # 0.0; adversarially unequal masks reach rel-grad 0.17 with
+            # cos >= 0.985 — scripts/accum_mean_probe.py, STATUS round 5).
+            # --train_accum_exact weights chunks by their mask counts:
+            # sum_c N_c (S_c/N_c) / sum_c N_c == the ONE global masked
+            # mean the reference computes over the full gathered batch.
+            # BatchNorm batch stats come from chunk 0 either way, matching
+            # torch DataParallel where only replica 0's (microbatch-sized)
             # buffer updates survive.
             chunks = jax.tree_util.tree_map(
                 lambda x: x.reshape((accum, -1) + x.shape[1:]), batch)
 
             def body(carry, xs):
                 chunk, idx = xs
-                loss_c, stats_c, grads_c = microbatch_grads(state, chunk,
-                                                            cache)
-                loss_a, stats_a, grads_a = carry
+                loss_c, stats_c, grads_c, n_c = microbatch_grads(
+                    state, chunk, cache)
+                loss_a, stats_a, grads_a, n_a = carry
                 stats_a = jax.tree_util.tree_map(
                     lambda a, c: jnp.where(idx == 0, c, a),
                     stats_a, stats_c)
+                w = n_c if exact else jnp.float32(1.0 / accum)
                 grads_a = jax.tree_util.tree_map(
-                    lambda a, c: a + c / accum, grads_a, grads_c)
-                return (loss_a + loss_c / accum, stats_a, grads_a), None
+                    lambda a, c: a + w * c, grads_a, grads_c)
+                return (loss_a + w * loss_c, stats_a, grads_a,
+                        n_a + n_c), None
 
             zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            init = (jnp.float32(0.0), state.batch_stats, zeros_g)
-            (loss, new_stats, grads), _ = jax.lax.scan(
+            init = (jnp.float32(0.0), state.batch_stats, zeros_g,
+                    jnp.float32(0.0))
+            (loss, new_stats, grads, n_total), _ = jax.lax.scan(
                 body, init, (chunks, jnp.arange(accum)))
+            if exact:
+                norm = jnp.maximum(n_total, 1.0)
+                loss = loss / norm
+                grads = jax.tree_util.tree_map(lambda g: g / norm, grads)
 
         lr = lr_schedule(cfg, state.step)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

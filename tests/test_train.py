@@ -355,6 +355,81 @@ def test_grad_accumulation_matches_full_batch(tmp_path):
                                    atol=1e-6, rtol=1e-4)
 
 
+def test_accum_exact_matches_full_batch_with_unequal_masks(tmp_path):
+    """--train_accum_exact: count-weighted accumulation equals the
+    single-batch global masked mean even when per-chunk mask counts
+    differ; the default uniform averaging deviates there (the
+    accum_mean_probe's forced worst case, pinned on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mmlf_tpu.config import Config
+    from mmlf_tpu.data import HCI4D
+    from mmlf_tpu.data.pipeline import DevicePipeline
+    from mmlf_tpu.data.synth import generate_dataset
+    from mmlf_tpu.models import FeedForward
+    from mmlf_tpu.train.loop import init_state, make_train_step
+
+    root = str(tmp_path / 'accumx')
+    generate_dataset(root, scenes=1, size=128, seed=0)
+
+    ds = HCI4D(root, cache=True)
+    # invalidate a vertical stripe of the scene mask so random windows
+    # carry very different valid-pixel counts across accumulation chunks
+    s = ds.data[0]
+    mask = np.asarray(s[7]).copy()
+    mask[:, : mask.shape[1] * 3 // 4] = 0
+    ds.data[0] = s[:7] + (mask,) + s[8:]
+
+    base = dict(train_trainset=root, train_bs=4, train_ps=32,
+                train_lr=1e-2, train_max_downscale=1, model_chs=6,
+                model_in_blocks=1, model_out_blocks=2, model_uncert=True,
+                model_no_batchnorm=True, train_no_data_augment=True)
+    cfg1 = Config(**base).finalize()
+    cfg_u = Config(**base, train_accum=2).finalize()
+    cfg_x = Config(**base, train_accum=2, train_accum_exact=True).finalize()
+
+    # seed chosen so the two accumulation chunks see unequal NONZERO
+    # valid-pixel counts (90 vs 100) under the punched mask
+    pipe = DevicePipeline(ds, cfg1, seed=4)
+    batch = pipe.sample_batch(4)
+
+    model = FeedForward.from_config(cfg1)
+    tx = optax.identity()          # param delta == -lr * grad
+
+    def run(cfg):
+        state = init_state(cfg1, model, tx,
+                           [jnp.zeros((1, 9, 32, 32, 3))] * 4)
+        s, l = make_train_step(cfg, model, tx, use_cache=True)(
+            state, batch, pipe.cache)
+        return float(l), np.concatenate(
+            [np.ravel(x) for x in jax.tree_util.tree_leaves(s.params)])
+
+    l_full, p_full = run(cfg1)
+    l_uni, p_uni = run(cfg_u)
+    l_ex, p_ex = run(cfg_x)
+
+    # exact mode reproduces the full-batch masked mean...
+    assert l_ex == pytest.approx(l_full, rel=1e-5)
+    np.testing.assert_allclose(p_ex, p_full, atol=1e-6, rtol=1e-4)
+    # ...while uniform averaging measurably deviates on these masks
+    assert abs(l_uni - l_full) > 10 * max(abs(l_ex - l_full), 1e-9)
+
+
+def test_accum_exact_rejects_two_count_losses(tmp_path):
+    from mmlf_tpu.config import Config
+    from mmlf_tpu.models import FeedForward
+    from mmlf_tpu.train.loop import make_train_step
+    import optax
+    base = dict(train_trainset='.', train_bs=4, train_ps=32,
+                model_chs=6, model_in_blocks=1, model_out_blocks=2,
+                train_accum=2, train_accum_exact=True, model_uncert=True)
+    cfg = Config(**base, train_loss_padding=3.5).finalize()
+    with pytest.raises(ValueError, match='train_loss_padding'):
+        make_train_step(cfg, FeedForward.from_config(cfg),
+                        optax.identity())
+
+
 def test_model_saver_surfaces_async_write_errors(tmp_path, monkeypatch):
     """A failed background checkpoint write must not kill the writer
     silently: the error surfaces on the training thread at the next save
