@@ -35,6 +35,15 @@ def main():
     print('| head | MSE ×100 | BadPix(0.07) | KLD | KLD_MM | KLD_UM | '
           'NLL | s/scene |')
     print('|---|---|---|---|---|---|---|---|')
+    # round-5 measurement arms (anchor A/Bs, regression re-proof, INN):
+    # rows appear whenever their validate logs exist in $PARITY_ROOT
+    extras = sorted(
+        f for f in os.listdir(root) if f.startswith('val_')
+        and f.endswith('.log')
+        and f[4:-4] not in {n for _, n in names}) if os.path.isdir(root) \
+        else []
+    names = names + [(f[4:-4], f[4:-4]) for f in extras]
+
     for label, name in names:
         path = os.path.join(root, f'val_{name}.log')
         m = parse_log(path) if os.path.exists(path) else None
